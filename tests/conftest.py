@@ -1,0 +1,24 @@
+"""Test configuration: run all tests on a virtual 8-device CPU mesh.
+
+The reference has no multi-node testing at all (SURVEY.md §4); here every test
+run exercises an 8-device mesh on one host via
+``--xla_force_host_platform_device_count`` so sharding paths are continuously
+validated without TPU pods. f64 is enabled for numeric golden tests.
+
+NOTE: this environment force-registers an `axon` TPU backend via
+sitecustomize regardless of JAX_PLATFORMS, so we must override the platform
+with an in-process config update *before* any backend is initialized.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,28 @@
+"""vil_sensor_fusion_tpu — a TPU-native visual-inertial-LiDAR odometry engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the
+AmeliaEScott/vil_sensor_fusion thesis stack (ROS + GTSAM + LOAM + ROVIO):
+
+- ``core``       : SO(3)/SE(3) Lie algebra and IMU preintegration (lax.scan).
+- ``graph``      : fixed-lag factor-graph smoother (on-manifold GN/LM with
+                   dense-per-window normal equations; replaces GTSAM/iSAM2).
+- ``ops``        : Pallas TPU kernels for the hot paths (KNN correspondence,
+                   point-to-plane reductions, patch ops).
+- ``frontends``  : LiDAR odometry (LOAM-equivalent feature extraction +
+                   scan-to-map ICP with explicit 6x6 Hessian) and VIO.
+- ``degeneracy`` : the thesis's degeneracy metric library + gating
+                   (log-det Hessian thresholds), fully vectorized.
+- ``fusion``     : the orchestration engine replicating gtsam_fusion_node
+                   semantics (sensor registry, measurement timeline,
+                   reserve/match/gap handling, solve cadence).
+- ``parallel``   : device-mesh sharding (dp over sequences, window/voxel
+                   sharding, psum-reduced normal equations).
+- ``data``       : synthetic Carla-like dataset generation + conventions.
+- ``eval``       : diagnostics (ATE/RPE/velocity errors), ROC/AUC.
+
+Unlike the reference's asynchronous ROS callback graph, everything here runs
+over a synchronous, replayable measurement timeline with static shapes, so
+the whole estimator jit-compiles and is deterministic.
+"""
+
+__version__ = "0.1.0"
