@@ -1,0 +1,201 @@
+"""End-to-end fusion engine tests — the TPU equivalent of the reference's
+IntegrationTest (gtsam_fusion/test/UnitTests.cpp:236-393), but validated
+against analytic ground truth instead of just graph bookkeeping:
+
+- two odometry sources at different rates (vio 20 Hz solving, lidar 10 Hz
+  piggybacking — the Carla config topology, fusion_params.yaml:1-20),
+- degeneracy gating actually rescuing the trajectory when one source goes
+  bad inside a labeled window (the thesis's core claim),
+- DiagnosticMessage-parity error series and ROC/AUC sanity.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vil_sensor_fusion_tpu import degeneracy as deg
+from vil_sensor_fusion_tpu import eval as ev
+from vil_sensor_fusion_tpu import fusion as fu
+from vil_sensor_fusion_tpu import graph as G
+from vil_sensor_fusion_tpu.core import lie
+from vil_sensor_fusion_tpu.data import synthetic as syn
+
+DTYPE = jnp.float64
+IMU_HZ = 200.0
+DUR = 4.0
+
+
+def _streams(traj, vio_hz=20.0, lidar_hz=10.0):
+    t_imu = jnp.arange(int(DUR * IMU_HZ) + 20, dtype=DTYPE) / IMU_HZ
+    imu = syn.sample_imu(traj, t_imu)
+    t_vio = (jnp.arange(int(DUR * vio_hz), dtype=DTYPE) + 1.0) / vio_hz
+    t_lid = (jnp.arange(int(DUR * lidar_hz), dtype=DTYPE) + 1.0) / lidar_hz
+    vio = syn.sample_odometry(traj, t_vio)
+    lid = syn.sample_odometry(traj, t_lid)
+    return imu, vio, lid
+
+
+def _config():
+    sm = G.SmootherConfig(window=6, between_slots=12, gn_iters=5)
+    return fu.FusionConfig(
+        smoother=sm,
+        sensors=(
+            fu.SensorSpec(name="vio", optimize_after_odom=True,
+                          covariance_linear=0.01, covariance_angular=0.01,
+                          max_time_skip=0.2),
+            fu.SensorSpec(name="lidar", optimize_after_odom=False,
+                          covariance_linear=0.01, covariance_angular=0.01,
+                          max_time_skip=0.2),
+        ),
+        max_imu_per_gap=32,
+    )
+
+
+def _run(cfg, traj, vio_keep=None, lid_keep=None, vio_poses=None):
+    imu, vio, lid = _streams(traj)
+    vio_p = vio.poses if vio_poses is None else vio_poses
+    vk = np.ones(len(vio.times)) if vio_keep is None else vio_keep
+    lk = np.ones(len(lid.times)) if lid_keep is None else lid_keep
+    tl = fu.merge_timeline([
+        (np.asarray(vio.times), np.asarray(vio_p), np.asarray(vio.cov), vk),
+        (np.asarray(lid.times), np.asarray(lid.poses), np.asarray(lid.cov), lk),
+    ])
+    gt = syn.sample_ground_truth(traj, tl.times)
+    es = fu.init(cfg, gt.poses[0] * 0 + jax.vmap(traj.pose_fn)(jnp.zeros(1))[0],
+                 traj.vel_fn(jnp.zeros(())), jnp.zeros(6, DTYPE),
+                 jnp.zeros((), DTYPE))
+
+    run = jax.jit(lambda es, tl: fu.run(cfg, es, tl, imu.times, imu.accel,
+                                        imu.gyro))
+    es, out = run(es, tl)
+    return tl, gt, out
+
+
+class TestEndToEnd:
+    def test_two_source_fusion_tracks_circle(self):
+        cfg = _config()
+        tl, gt, out = _run(cfg, syn.circle(radius=15.0, period=12.0))
+        ate = float(ev.ate_rmse(out.poses, gt.poses))
+        assert ate < 0.05, f"ATE {ate} too large"
+        # Fused output at every event; solves on vio events only
+        n_vio = int(np.sum(np.asarray(tl.source) == 0))
+        assert int(np.sum(np.asarray(out.solved))) == n_vio
+
+    def test_gating_rescues_corrupted_source(self):
+        """Corrupt the lidar odometry inside a 'degenerate window' and verify
+        the gate (keep=0 there) restores accuracy — the thesis's experiment
+        shape (fusion with vs. without the degeneracy filter)."""
+        cfg = _config()
+        traj = syn.circle(radius=15.0, period=12.0)
+        imu, vio, lid = _streams(traj)
+        # Corrupt lidar poses in t ∈ [1.5, 3.0] with a large drift.
+        t = np.asarray(lid.times)
+        bad = (t >= 1.5) & (t <= 3.0)
+        drift = np.zeros((len(t), 6))
+        drift[bad, 0] = 3.0 * (t[bad] - 1.5)   # runaway x drift
+        lid_bad = lie.pose_retract(lid.poses, jnp.asarray(drift))
+
+        keep_all = np.ones(len(t))
+        keep_gated = (~bad).astype(np.float64)
+
+        def run_with(keep):
+            tl = fu.merge_timeline([
+                (np.asarray(vio.times), np.asarray(vio.poses),
+                 np.asarray(vio.cov), np.ones(len(vio.times))),
+                (t, np.asarray(lid_bad), np.asarray(lid.cov), keep),
+            ])
+            gt = syn.sample_ground_truth(traj, tl.times)
+            es = fu.init(cfg, gt.poses[0], gt.vels[0], jnp.zeros(6, DTYPE),
+                         jnp.zeros((), DTYPE))
+            es, out = jax.jit(lambda es, tl: fu.run(
+                cfg, es, tl, imu.times, imu.accel, imu.gyro))(es, tl)
+            return float(ev.ate_rmse(out.poses, gt.poses))
+
+        ate_ungated = run_with(keep_all)
+        ate_gated = run_with(keep_gated)
+        assert ate_gated < 0.05
+        assert ate_ungated > 3.0 * ate_gated
+
+    def test_max_time_skip_resets_chain(self):
+        """Events separated by more than max_time_skip must not produce a
+        between-factor (SensorManagerRos.cpp:47) — fusion still works off
+        IMU + the other source."""
+        cfg = _config()
+        traj = syn.figure_eight(radius=10.0, period=16.0)
+        # Drop a block of lidar measurements entirely (sensor dropout).
+        imu, vio, lid = _streams(traj)
+        t = np.asarray(lid.times)
+        alive = (t < 1.5) | (t > 2.5)
+        tl = fu.merge_timeline([
+            (np.asarray(vio.times), np.asarray(vio.poses), np.asarray(vio.cov),
+             np.ones(len(vio.times))),
+            (t[alive], np.asarray(lid.poses)[alive], np.asarray(lid.cov)[alive],
+             np.ones(alive.sum())),
+        ])
+        gt = syn.sample_ground_truth(traj, tl.times)
+        es = fu.init(cfg, gt.poses[0], gt.vels[0], jnp.zeros(6, DTYPE),
+                     jnp.zeros((), DTYPE))
+        es, out = jax.jit(lambda es, tl: fu.run(
+            cfg, es, tl, imu.times, imu.accel, imu.gyro))(es, tl)
+        ate = float(ev.ate_rmse(out.poses, gt.poses))
+        assert ate < 0.05
+
+
+class TestDiagnostics:
+    def test_fields_against_manual(self):
+        traj = syn.circle(radius=10.0, period=10.0)
+        times = jnp.arange(1, 41, dtype=DTYPE) / 10.0
+        gt = syn.sample_ground_truth(traj, times)
+        # Estimate = gt with constant offset in x (world frame)
+        off = jnp.zeros((len(times), 6), DTYPE).at[:, 0].set(0.1)
+        est = lie.pose_retract(gt.poses, off)
+        d = ev.diagnostic_series(times, est, gt.poses)
+        np.testing.assert_allclose(np.asarray(d.abs_dist_err), 0.1, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(d.abs_rot_err), 0.0, atol=1e-9)
+        # gt_distance is cumulative arc length ≈ speed * t
+        speed = 2 * np.pi * 10.0 / 10.0
+        got = float(d.gt_distance[-1])
+        want = speed * (float(times[-1]) - float(times[0]))
+        np.testing.assert_allclose(got, want, rtol=1e-3)
+        # relative error = abs/cum
+        np.testing.assert_allclose(
+            np.asarray(d.relative_dist_err[1:]),
+            0.1 / np.asarray(d.gt_distance[1:]), rtol=1e-9)
+
+    def test_ate_rpe(self):
+        traj = syn.straight_tunnel(speed=5.0)
+        times = jnp.arange(1, 21, dtype=DTYPE) / 10.0
+        gt = syn.sample_ground_truth(traj, times)
+        ate = float(ev.ate_rmse(gt.poses, gt.poses))
+        assert ate == pytest.approx(0.0, abs=1e-12)
+        t_rpe, r_rpe = ev.rpe(gt.poses, gt.poses)
+        assert float(t_rpe) == pytest.approx(0.0, abs=1e-12)
+        assert float(r_rpe) == pytest.approx(0.0, abs=1e-9)
+
+
+class TestRoc:
+    def test_perfect_detector_auc_1(self):
+        times = jnp.arange(200, dtype=DTYPE) / 10.0
+        labels = ev.label_windows(times, [(5.0, 10.0)])
+        # Perfect low-is-degenerate score: 0 inside window, 1 outside
+        score = jnp.where(labels, 0.0, 1.0)
+        curve = ev.roc_curve(labels, score)
+        assert float(curve.auc) > 0.95
+
+    def test_random_detector_auc_half(self):
+        rng = np.random.default_rng(3)
+        times = jnp.arange(1000, dtype=DTYPE) / 10.0
+        labels = ev.label_windows(times, [(20.0, 60.0)])
+        score = jnp.asarray(rng.standard_normal(1000))
+        curve = ev.roc_curve(labels, score)
+        assert 0.4 < float(curve.auc) < 0.6
+
+    def test_auc_table(self):
+        times = jnp.arange(100, dtype=DTYPE)
+        labels = ev.label_windows(times, [(10.0, 30.0)])
+        scores = {"good": jnp.where(labels, -1.0, 1.0),
+                  "bad": jnp.where(labels, 1.0, -1.0)}
+        table = ev.auc_table(scores, labels)
+        assert table["good"] > 0.9
+        assert table["bad"] < 0.1

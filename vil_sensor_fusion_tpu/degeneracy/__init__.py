@@ -1,0 +1,17 @@
+"""Degeneracy detection: metric library + gating (the thesis's contribution)."""
+
+from . import gate
+from . import metrics
+from .gate import DegeneracyScores, GateConfig, GateResult, logdet_gate, score_series
+from .metrics import METRICS
+
+__all__ = [
+    "gate",
+    "metrics",
+    "DegeneracyScores",
+    "GateConfig",
+    "GateResult",
+    "logdet_gate",
+    "score_series",
+    "METRICS",
+]

@@ -1,0 +1,117 @@
+"""Degeneracy gating — on-device replacements for the reference's two gates:
+
+1. The **final log-det gate** (gtsam_fusion/src/degerate_odometry_filter.cpp:29-48):
+   from the 6x6 ICP Hessian, ``log(det(H[3:6,3:6]))`` (rotation) and
+   ``log(det(H[0:3,0:3]))`` (translation) are compared against config
+   thresholds (rot 11.5 / trans 28.9, fusion_params.yaml:35-36); the odometry
+   is DROPPED if either falls below. Here the drop becomes a 0/1 weight that
+   multiplies the between-factor information in the smoother — jit-stable,
+   vectorizable over a whole trajectory, and differentiable-friendly.
+
+2. The **experimental score node** (vil_fusion/src/vil_fusion/degeneracy_detection.py):
+   a configurable list of metric functions applied to the all/trans/rot
+   sub-blocks of covariance or Hessian, with score derivatives. Here that is
+   :func:`score_series` — one vmapped pass over the full trajectory.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, NamedTuple, Sequence
+
+import jax.numpy as jnp
+
+from . import metrics as M
+
+
+class GateConfig(NamedTuple):
+    """Thresholds of fusion_params.yaml:35-36."""
+
+    rot_threshold: float = 11.5
+    trans_threshold: float = 28.9
+
+
+class GateResult(NamedTuple):
+    rot_d_opt: jnp.ndarray     # log det of the 3x3 rotation Hessian block
+    trans_d_opt: jnp.ndarray   # log det of the 3x3 translation Hessian block
+    keep: jnp.ndarray          # 1.0 = pass, 0.0 = drop (batched)
+
+
+def logdet_gate(hessian: jnp.ndarray, cfg: GateConfig = GateConfig()) -> GateResult:
+    """The final thesis gate over batched 6x6 Hessians (rho/theta order:
+    translation block [0:3,0:3], rotation block [3:6,3:6] — identical layout
+    to LOAM's OptStatus hessian as consumed at degerate_odometry_filter.cpp:32-36)."""
+    trans = hessian[..., 0:3, 0:3]
+    rot = hessian[..., 3:6, 3:6]
+    _, ld_rot = jnp.linalg.slogdet(rot)
+    _, ld_trans = jnp.linalg.slogdet(trans)
+    keep = ((ld_rot >= cfg.rot_threshold) & (ld_trans >= cfg.trans_threshold))
+    return GateResult(rot_d_opt=ld_rot, trans_d_opt=ld_trans,
+                      keep=keep.astype(hessian.dtype))
+
+
+class DegeneracyScores(NamedTuple):
+    """Per-metric score streams — the DegeneracyScore msg fields
+    (vil_fusion/msg/DegeneracyScore.msg) as arrays over the trajectory."""
+
+    score_all: jnp.ndarray        # (T,)
+    score_trans: jnp.ndarray      # (T,)
+    score_rot: jnp.ndarray        # (T,)
+    derivative_all: jnp.ndarray   # (T,) first difference (prev score = 0 at t=0)
+    derivative_trans: jnp.ndarray
+    derivative_rot: jnp.ndarray
+
+
+def _diff0(x: jnp.ndarray) -> jnp.ndarray:
+    """score[t] - score[t-1] with score[-1] = 0 (the node's init state,
+    degeneracy_detection.py:52-57,125-127)."""
+    return x - jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], axis=0)
+
+
+def score_series(
+    names: Sequence[str],
+    mats: jnp.ndarray,
+    poses: jnp.ndarray | None = None,
+) -> Mapping[str, DegeneracyScores]:
+    """Evaluate named metrics over a trajectory of 6x6 matrices.
+
+    Args:
+      names: metric names from :data:`metrics.METRICS` (rosparam-equivalent
+        of ~loam_degen_funcs / ~rovio_degen_funcs).
+      mats: (T, 6, 6) covariance or Hessian series.
+      poses: optional (T, 6) pose series (x,y,z,roll,pitch,yaw) for the
+        KL-style metrics — the euler conversion the node does at
+        degeneracy_detection.py:68-81.
+
+    Returns {name: DegeneracyScores} with all/trans/rot sub-block scores and
+    first-difference derivatives, matching shared_callback's outputs
+    (degeneracy_detection.py:115-130). mat_prev / pose_prev use the previous
+    element (identity / zeros at t=0, matching the node's init state).
+    """
+    T = mats.shape[0]
+    eye = jnp.broadcast_to(jnp.eye(6, dtype=mats.dtype), (1, 6, 6))
+    prev = jnp.concatenate([eye, mats[:-1]], axis=0)
+    if poses is None:
+        poses = jnp.zeros((T, 6), dtype=mats.dtype)
+    pose_prev = jnp.concatenate([jnp.zeros_like(poses[:1]), poses[:-1]], axis=0)
+
+    blocks = {
+        "all": (mats, prev, poses, pose_prev),
+        "trans": (mats[:, 0:3, 0:3], prev[:, 0:3, 0:3],
+                  poses[:, 0:3], pose_prev[:, 0:3]),
+        "rot": (mats[:, 3:6, 3:6], prev[:, 3:6, 3:6],
+                poses[:, 3:6], pose_prev[:, 3:6]),
+    }
+
+    out = {}
+    for name in names:
+        fn = M.METRICS[name]
+        s = {}
+        for k, (mn, mp, pn, pp) in blocks.items():
+            s[k] = fn(mat_now=mn, mat_prev=mp, pose_now=pn, pose_prev=pp)
+        out[name] = DegeneracyScores(
+            score_all=s["all"], score_trans=s["trans"], score_rot=s["rot"],
+            derivative_all=_diff0(s["all"]),
+            derivative_trans=_diff0(s["trans"]),
+            derivative_rot=_diff0(s["rot"]),
+        )
+    return out
