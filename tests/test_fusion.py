@@ -62,9 +62,8 @@ def _run(cfg, traj, vio_keep=None, lid_keep=None, vio_poses=None):
         (np.asarray(lid.times), np.asarray(lid.poses), np.asarray(lid.cov), lk),
     ])
     gt = syn.sample_ground_truth(traj, tl.times)
-    es = fu.init(cfg, gt.poses[0] * 0 + jax.vmap(traj.pose_fn)(jnp.zeros(1))[0],
-                 traj.vel_fn(jnp.zeros(())), jnp.zeros(6, DTYPE),
-                 jnp.zeros((), DTYPE))
+    t0 = jnp.zeros((), DTYPE)
+    es = fu.init(cfg, traj.pose_fn(t0), traj.vel_fn(t0), jnp.zeros(6, DTYPE), t0)
 
     run = jax.jit(lambda es, tl: fu.run(cfg, es, tl, imu.times, imu.accel,
                                         imu.gyro))
@@ -85,10 +84,40 @@ class TestEndToEnd:
     def test_gating_rescues_corrupted_source(self):
         """Corrupt the lidar odometry inside a 'degenerate window' and verify
         the gate (keep=0 there) restores accuracy — the thesis's experiment
-        shape (fusion with vs. without the degeneracy filter)."""
-        cfg = _config()
+        shape (fusion with vs. without the degeneracy filter).
+
+        Physics matters here: with an ideal IMU the smoother absorbs bad
+        between-factors, so we use realistic MEMS noise (sampled AND modeled)
+        and an *overconfident* corrupted source — which is exactly what
+        degenerate LOAM is (tiny reported covariance, meters of drift)."""
+        from vil_sensor_fusion_tpu.core import preintegration as pre
+
+        cov_a, cov_g = 1e-3, 1e-5
+        ip = pre.ImuParams(cov_accel=cov_a, cov_gyro=cov_g)
+        sm = G.SmootherConfig(window=6, between_slots=12, gn_iters=5, imu=ip)
+        cfg = fu.FusionConfig(
+            smoother=sm,
+            sensors=(
+                fu.SensorSpec(name="vio", optimize_after_odom=True,
+                              covariance_linear=0.01, covariance_angular=0.01,
+                              max_time_skip=0.2),
+                fu.SensorSpec(name="lidar", optimize_after_odom=False,
+                              covariance_linear=1e-6, covariance_angular=1e-6,
+                              max_time_skip=0.2),
+            ),
+            max_imu_per_gap=32,
+        )
         traj = syn.circle(radius=15.0, period=12.0)
-        imu, vio, lid = _streams(traj)
+        t_imu = jnp.arange(int(DUR * IMU_HZ) + 20, dtype=DTYPE) / IMU_HZ
+        imu = syn.sample_imu(
+            traj, t_imu,
+            accel_noise=float(np.sqrt(cov_a * IMU_HZ)),
+            gyro_noise=float(np.sqrt(cov_g * IMU_HZ)),
+            key=jax.random.PRNGKey(0))
+        t_vio = (jnp.arange(int(DUR * 20), dtype=DTYPE) + 1.0) / 20
+        t_lid = (jnp.arange(int(DUR * 10), dtype=DTYPE) + 1.0) / 10
+        vio = syn.sample_odometry(traj, t_vio)
+        lid = syn.sample_odometry(traj, t_lid)
         # Corrupt lidar poses in t ∈ [1.5, 3.0] with a large drift.
         t = np.asarray(lid.times)
         bad = (t >= 1.5) & (t <= 3.0)
@@ -106,16 +135,17 @@ class TestEndToEnd:
                 (t, np.asarray(lid_bad), np.asarray(lid.cov), keep),
             ])
             gt = syn.sample_ground_truth(traj, tl.times)
-            es = fu.init(cfg, gt.poses[0], gt.vels[0], jnp.zeros(6, DTYPE),
-                         jnp.zeros((), DTYPE))
+            t0 = jnp.zeros((), DTYPE)
+            es = fu.init(cfg, traj.pose_fn(t0), traj.vel_fn(t0),
+                         jnp.zeros(6, DTYPE), t0)
             es, out = jax.jit(lambda es, tl: fu.run(
                 cfg, es, tl, imu.times, imu.accel, imu.gyro))(es, tl)
             return float(ev.ate_rmse(out.poses, gt.poses))
 
         ate_ungated = run_with(keep_all)
         ate_gated = run_with(keep_gated)
-        assert ate_gated < 0.05
-        assert ate_ungated > 3.0 * ate_gated
+        assert ate_gated < 0.15
+        assert ate_ungated > 10.0 * ate_gated
 
     def test_max_time_skip_resets_chain(self):
         """Events separated by more than max_time_skip must not produce a
@@ -134,8 +164,9 @@ class TestEndToEnd:
              np.ones(alive.sum())),
         ])
         gt = syn.sample_ground_truth(traj, tl.times)
-        es = fu.init(cfg, gt.poses[0], gt.vels[0], jnp.zeros(6, DTYPE),
-                     jnp.zeros((), DTYPE))
+        t0 = jnp.zeros((), DTYPE)
+        es = fu.init(cfg, traj.pose_fn(t0), traj.vel_fn(t0),
+                     jnp.zeros(6, DTYPE), t0)
         es, out = jax.jit(lambda es, tl: fu.run(
             cfg, es, tl, imu.times, imu.accel, imu.gyro))(es, tl)
         ate = float(ev.ate_rmse(out.poses, gt.poses))
@@ -157,7 +188,8 @@ class TestDiagnostics:
         speed = 2 * np.pi * 10.0 / 10.0
         got = float(d.gt_distance[-1])
         want = speed * (float(times[-1]) - float(times[0]))
-        np.testing.assert_allclose(got, want, rtol=1e-3)
+        # z oscillation adds a little arc length beyond the planar speed
+        np.testing.assert_allclose(got, want, rtol=5e-3)
         # relative error = abs/cum
         np.testing.assert_allclose(
             np.asarray(d.relative_dist_err[1:]),

@@ -1,0 +1,129 @@
+"""Analytic LiDAR simulation: raycast simple geometric worlds.
+
+The reference gets LiDAR data from Carla's simulated VLP-16 (300 k pts/s,
+16 ch, 120 m — carla_tools/config/sensors.json). For deterministic tests and
+benchmarks we raycast closed-form worlds instead: planes and axis-aligned
+boxes. Two presets mirror the thesis's evaluation scenarios
+(make_prettier_graphs.py:46-120 labeled windows):
+
+- :func:`corridor_world` — two parallel walls + ground: translation along
+  the corridor is unobservable for ICP (the 'Tunnel' degenerate case).
+- :func:`town_world` — ground + random boxes (buildings): well-conditioned.
+
+Raycasting the full (16, 1800) VLP-16 grid against ~40 primitives is a tiny
+vectorized computation — each sweep is exact, with no simulator noise floor.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import lie
+from ..frontends.lidar.rangeimage import (
+    AZIMUTH, RINGS, Sweep, VLP16_ELEVATIONS_DEG)
+
+
+class World(NamedTuple):
+    """Planes: n·x + d = 0 with n unit; boxes: AABBs."""
+
+    plane_n: jnp.ndarray     # (P, 3)
+    plane_d: jnp.ndarray     # (P,)
+    box_min: jnp.ndarray     # (B, 3)
+    box_max: jnp.ndarray     # (B, 3)
+
+
+def corridor_world(width: float = 8.0, height: float = 5.0,
+                   dtype=jnp.float32) -> World:
+    """Ground plane + two walls along the x axis + ceiling (a tunnel)."""
+    n = jnp.array([
+        [0.0, 0.0, 1.0],     # ground z = 0 (sensor assumed above)
+        [0.0, 1.0, 0.0],     # wall y = -width/2
+        [0.0, -1.0, 0.0],    # wall y = +width/2
+        [0.0, 0.0, -1.0],    # ceiling z = height
+    ], dtype)
+    d = jnp.array([0.0, width / 2.0, width / 2.0, height], dtype)
+    zero = jnp.zeros((0, 3), dtype)
+    return World(plane_n=n, plane_d=d, box_min=zero, box_max=zero)
+
+
+def town_world(n_boxes: int = 24, seed: int = 0, extent: float = 60.0,
+               dtype=jnp.float32) -> World:
+    """Ground plane + random 'buildings' scattered around the origin,
+    cleared of a central street so trajectories don't collide."""
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    centers = jax.random.uniform(
+        k1, (n_boxes, 2), dtype, -extent, extent)
+    # Push boxes off the central corridor (|y| >= 8).
+    cy = jnp.where(jnp.abs(centers[:, 1]) < 8.0,
+                   jnp.sign(centers[:, 1] + 1e-3) * 8.0 + centers[:, 1],
+                   centers[:, 1])
+    centers = jnp.stack([centers[:, 0], cy], axis=-1)
+    sizes = jax.random.uniform(k2, (n_boxes, 2), dtype, 2.0, 8.0)
+    heights = jax.random.uniform(k3, (n_boxes,), dtype, 3.0, 12.0)
+    bmin = jnp.concatenate(
+        [centers - sizes / 2, jnp.zeros((n_boxes, 1), dtype)], axis=-1)
+    bmax = jnp.concatenate(
+        [centers + sizes / 2, heights[:, None]], axis=-1)
+    n = jnp.array([[0.0, 0.0, 1.0]], dtype)
+    d = jnp.array([0.0], dtype)
+    return World(plane_n=n, plane_d=d, box_min=bmin, box_max=bmax)
+
+
+def _ray_dirs(dtype) -> jnp.ndarray:
+    """(R, A, 3) unit ray directions in the sensor frame (VLP-16 grid)."""
+    elev = jnp.radians(VLP16_ELEVATIONS_DEG.astype(dtype))      # (R,)
+    az = (jnp.arange(AZIMUTH, dtype=dtype) + 0.5) / AZIMUTH * 2 * jnp.pi - jnp.pi
+    ce, se = jnp.cos(elev)[:, None], jnp.sin(elev)[:, None]
+    ca, sa = jnp.cos(az)[None, :], jnp.sin(az)[None, :]
+    return jnp.stack([ce * ca, ce * sa, se * jnp.ones_like(ca)], axis=-1)
+
+
+def raycast(world: World, pose: jnp.ndarray, max_range: float = 120.0,
+            min_range: float = 0.5) -> Sweep:
+    """Cast the full VLP-16 grid from ``pose`` (world_T_sensor); returns an
+    organized :class:`Sweep` in the **sensor frame**."""
+    dtype = pose.dtype
+    dirs_s = _ray_dirs(dtype)                                    # (R, A, 3)
+    q = lie.pose_quat(pose)
+    o = lie.pose_trans(pose)
+    dirs = lie.quat_rotate(q[None, None, :], dirs_s)             # world frame
+    inf = jnp.asarray(jnp.inf, dtype)
+
+    # Planes: t = -(n·o + d) / (n·dir)
+    num = -(world.plane_n @ o + world.plane_d)                   # (P,)
+    den = jnp.einsum("pk,rak->rap", world.plane_n, dirs)         # (R, A, P)
+    t_pl = num[None, None, :] / jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
+    t_pl = jnp.where((t_pl > min_range) & (den != 0), t_pl, inf)
+    t_plane = jnp.min(t_pl, axis=-1) if world.plane_n.shape[0] else inf
+
+    # Boxes: slab method.
+    if world.box_min.shape[0]:
+        safe_dirs = jnp.where(jnp.abs(dirs) < 1e-9, 1e-9, dirs)
+        t1 = (world.box_min[None, None, :, :] - o) / safe_dirs[:, :, None, :]
+        t2 = (world.box_max[None, None, :, :] - o) / safe_dirs[:, :, None, :]
+        tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)             # (R, A, B)
+        tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        hit = (tmax >= tmin) & (tmin > min_range)
+        t_bx = jnp.where(hit, tmin, inf)
+        t_box = jnp.min(t_bx, axis=-1)
+    else:
+        t_box = jnp.full(t_plane.shape, inf, dtype)
+
+    t = jnp.minimum(t_plane, t_box)
+    valid = (t < max_range).astype(dtype)
+    t_safe = jnp.where(valid > 0, t, 0.0)
+    pts_w = o + t_safe[..., None] * dirs
+    # Back to sensor frame.
+    pts_s = lie.quat_rotate(
+        lie.quat_conjugate(q)[None, None, :], pts_w - o)
+    return Sweep(xyz=pts_s * valid[..., None], rng=t_safe, mask=valid)
+
+
+def sweep_series(world: World, poses: jnp.ndarray,
+                 max_range: float = 120.0) -> Sweep:
+    """Raycast a batch of poses → stacked Sweeps (T, R, A, ·)."""
+    return jax.vmap(lambda p: raycast(world, p, max_range))(poses)

@@ -1,0 +1,222 @@
+"""Scan registration: batched KNN correspondence + point-to-line /
+point-to-plane Gauss-Newton with an explicit 6×6 Hessian.
+
+This is the TPU-native replacement for the LOAM fork's LaserOdometry /
+LaserMapping optimization (loam_params.yaml LaserOdometry/LaserMapping
+blocks; the fork publishes the 6×6 Hessian in its OptStatus message —
+gtsam_fusion/README.md:27-28 — which IS the thesis's degeneracy signal).
+
+TPU-first choices:
+- **KNN is a matmul**: ‖q−m‖² = ‖q‖² − 2 q·mᵀ + ‖m‖², so the Q×M distance
+  matrix rides the MXU; `top_k` gives the 5 neighbors LOAM gets from a
+  KD-tree. Queries are processed in chunks (lax.map) to bound memory.
+- **Static shapes everywhere**: feature sets and the map are fixed-capacity
+  with 0/1 masks; invalid correspondences get zero weight, not dropped rows.
+- **Fixed GN iterations** (odomMaxIterations 25 / mapMaxIterations 10 →
+  configurable) inside `lax.fori_loop`; no data-dependent early abort
+  (the deltaT/deltaR abort thresholds become a no-op wash since extra
+  iterations at convergence are free relative to a recompile).
+- **Degeneracy projection**: LOAM's eigenvalue-clamped solve (eigenvalues of
+  H below ``degen_eigval`` ⇒ solution projected off those directions,
+  odomDegenEigVal 30 / mapDegenEigVal 40).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ...core import lie
+
+KNN_K = 5
+QUERY_CHUNK = 128
+
+
+class IcpConfig(NamedTuple):
+    iters: int = 10                  # mapMaxIterations (25 for odometry mode)
+    max_corr_dist: float = 1.0       # correspondence gating radius
+    line_eig_ratio: float = 3.0      # λ1 > ratio·λ2 ⇒ valid line (LOAM rule)
+    plane_fit_tol: float = 0.2       # max point-plane misfit in the 5-NN fit
+    degen_eigval: float = 40.0       # mapDegenEigVal
+    damping: float = 1e-6
+
+
+class IcpResult(NamedTuple):
+    pose: jnp.ndarray        # (7,) refined target_T_sensor
+    hessian: jnp.ndarray     # (6, 6) GN Hessian at the solution (rho, theta)
+    cost: jnp.ndarray        # final weighted squared error
+    n_corr: jnp.ndarray      # number of valid correspondences (float)
+    degenerate: jnp.ndarray  # (6,) 1.0 per clamped eigen-direction
+
+
+def knn(
+    queries: jnp.ndarray,     # (Q, 3)
+    q_mask: jnp.ndarray,      # (Q,)
+    targets: jnp.ndarray,     # (M, 3)
+    t_mask: jnp.ndarray,      # (M,)
+    k: int = KNN_K,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Masked brute-force KNN: returns (idx (Q,k), dist² (Q,k)).
+
+    Invalid targets get +inf distance; invalid queries return garbage rows
+    the caller must mask (their validity flows through q_mask)."""
+    t_sq = jnp.sum(targets * targets, axis=-1)
+    inf = jnp.asarray(jnp.inf, queries.dtype)
+    Q = queries.shape[0]
+    pad = (-Q) % QUERY_CHUNK
+    q = jnp.pad(queries, ((0, pad), (0, 0)))
+    chunks = q.reshape(-1, QUERY_CHUNK, 3)
+
+    def one(qc):
+        d = (jnp.sum(qc * qc, axis=-1)[:, None]
+             - 2.0 * qc @ targets.T + t_sq[None, :])
+        d = jnp.where(t_mask[None, :] > 0, d, inf)
+        neg, idx = jax.lax.top_k(-d, k)
+        return idx, -neg
+
+    idx, d2 = jax.lax.map(one, chunks)
+    return (idx.reshape(-1, k)[:Q], d2.reshape(-1, k)[:Q])
+
+
+def _transform(pose: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    return lie.quat_rotate(lie.pose_quat(pose)[None, :], pts) \
+        + lie.pose_trans(pose)[None, :]
+
+
+def line_correspondences(
+    pose, corners, corner_mask, map_corners, map_mask, cfg: IcpConfig,
+):
+    """Point-to-line: 5-NN in the corner map, line via the principal
+    eigenvector of the neighbor scatter (LaserMapping's corner matching).
+
+    Returns (res (Q,3), J (Q,3,6), w (Q,)) — residual is the perpendicular
+    displacement from the fitted line, Jacobian wrt right-perturbation
+    (rho, theta) of ``pose``.
+    """
+    p_map = _transform(pose, corners)                     # (Q, 3)
+    idx, d2 = knn(p_map, corner_mask, map_corners, map_mask)
+    nn = map_corners[idx]                                 # (Q, K, 3)
+    centroid = jnp.mean(nn, axis=1)                       # (Q, 3)
+    dc = nn - centroid[:, None, :]
+    cov = jnp.einsum("qki,qkj->qij", dc, dc) / KNN_K
+    eigval, eigvec = jnp.linalg.eigh(cov)                 # ascending
+    d = eigvec[..., -1]                                   # line direction
+    is_line = eigval[..., -1] > cfg.line_eig_ratio * eigval[..., -2]
+    near = d2[:, -1] < cfg.max_corr_dist ** 2             # worst NN in radius
+    w = corner_mask * is_line.astype(corners.dtype) * near.astype(corners.dtype)
+
+    P = jnp.eye(3, dtype=corners.dtype)[None] - d[:, :, None] * d[:, None, :]
+    res = jnp.einsum("qij,qj->qi", P, p_map - centroid)
+    R = lie.quat_to_rot(lie.pose_quat(pose))
+    Jp = jnp.concatenate(
+        [jnp.broadcast_to(R, corners.shape[:1] + (3, 3)),
+         -jnp.einsum("ij,qjk->qik", R, lie.hat(corners))], axis=-1)  # (Q,3,6)
+    J = jnp.einsum("qij,qjk->qik", P, Jp)
+    return res, J, w
+
+
+def plane_correspondences(
+    pose, surfs, surf_mask, map_surfs, map_mask, cfg: IcpConfig,
+):
+    """Point-to-plane: 5-NN plane fit by least squares (LaserMapping's
+    surface matching, incl. the 0.2 m fit-validity check).
+
+    Returns (res (Q,1), J (Q,1,6), w (Q,))."""
+    p_map = _transform(pose, surfs)
+    idx, d2 = knn(p_map, surf_mask, map_surfs, map_mask)
+    nn = map_surfs[idx]                                   # (Q, K, 3)
+    # Solve nn @ n = -1 for plane normal (LOAM's Ax=b plane fit).
+    ones = -jnp.ones(nn.shape[:2] + (1,), nn.dtype)
+    AtA = jnp.einsum("qki,qkj->qij", nn, nn)
+    Atb = jnp.einsum("qki,qk->qi", nn, ones[..., 0])
+    eye3 = jnp.eye(3, dtype=nn.dtype)
+    n_raw = jnp.linalg.solve(AtA + 1e-9 * eye3[None], Atb)
+    norm = jnp.linalg.norm(n_raw, axis=-1, keepdims=True)
+    n = n_raw / jnp.maximum(norm, 1e-12)
+    d_off = 1.0 / jnp.maximum(norm[..., 0], 1e-12)        # plane: n·x + d = 0
+    # Fit validity: every neighbor within plane_fit_tol of the plane.
+    fit = jnp.abs(jnp.einsum("qki,qi->qk", nn, n) + d_off[:, None])
+    good_fit = jnp.max(fit, axis=-1) < cfg.plane_fit_tol
+    near = d2[:, -1] < cfg.max_corr_dist ** 2
+    w = surf_mask * good_fit.astype(surfs.dtype) * near.astype(surfs.dtype)
+
+    res = (jnp.einsum("qi,qi->q", n, p_map) + d_off)[:, None]   # (Q, 1)
+    R = lie.quat_to_rot(lie.pose_quat(pose))
+    Jp = jnp.concatenate(
+        [jnp.broadcast_to(R, surfs.shape[:1] + (3, 3)),
+         -jnp.einsum("ij,qjk->qik", R, lie.hat(surfs))], axis=-1)
+    J = jnp.einsum("qi,qik->qk", n, Jp)[:, None, :]             # (Q, 1, 6)
+    return res, J, w
+
+
+def accumulate_normal_eqs(res, J, w):
+    """H = Σ w JᵀJ, g = Σ w Jᵀr — shardable over the point axis: under
+    shard_map these become psum-reduced partial sums (parallel.icp_psum)."""
+    H = jnp.einsum("qri,q,qrj->ij", J, w, J)
+    g = jnp.einsum("qri,q,qr->i", J, w, res)
+    return H, g
+
+
+def degeneracy_projected_step(H, g, cfg: IcpConfig):
+    """LOAM's degeneracy-aware solve: eigen-directions of H with eigenvalue
+    below ``degen_eigval`` are frozen — the update is projected onto the
+    well-conditioned subspace (Zhang & Singh's solveDegeneracy; thresholds
+    odomDegenEigVal/mapDegenEigVal in loam_params.yaml)."""
+    dtype = H.dtype
+    eigval, V = jnp.linalg.eigh(H)
+    ok = (eigval > cfg.degen_eigval).astype(dtype)
+    dx = -jnp.linalg.solve(
+        H + cfg.damping * jnp.eye(6, dtype=dtype)
+        * jnp.maximum(jnp.mean(jnp.diagonal(H)), 1.0), g)
+    dx_proj = V @ (ok * (V.T @ dx))
+    return dx_proj, 1.0 - ok
+
+
+def register(
+    pose0: jnp.ndarray,
+    corners: jnp.ndarray, corner_mask: jnp.ndarray,
+    surfs: jnp.ndarray, surf_mask: jnp.ndarray,
+    map_corners: jnp.ndarray, map_corner_mask: jnp.ndarray,
+    map_surfs: jnp.ndarray, map_surf_mask: jnp.ndarray,
+    cfg: IcpConfig = IcpConfig(),
+) -> IcpResult:
+    """Full scan-to-map registration: fixed GN iterations with fresh
+    correspondences each iteration, degeneracy-projected updates, and the
+    final 6×6 Hessian returned as the degeneracy signal."""
+
+    def body(_, carry):
+        pose, _, _ = carry
+        rl, Jl, wl = line_correspondences(
+            pose, corners, corner_mask, map_corners, map_corner_mask, cfg)
+        rp, Jp, wp = plane_correspondences(
+            pose, surfs, surf_mask, map_surfs, map_surf_mask, cfg)
+        Hl, gl = accumulate_normal_eqs(rl, Jl, wl)
+        Hp, gp = accumulate_normal_eqs(rp, Jp, wp)
+        H = Hl + Hp
+        g = gl + gp
+        dx, degen = degeneracy_projected_step(H, g, cfg)
+        pose_new = lie.pose_retract(pose, dx)
+        return pose_new, H, degen
+
+    dtype = pose0.dtype
+    init = (pose0, jnp.zeros((6, 6), dtype), jnp.zeros((6,), dtype))
+    pose, H, degen = jax.lax.fori_loop(0, cfg.iters, body, init)
+
+    # Final stats at the solution.
+    rl, Jl, wl = line_correspondences(
+        pose, corners, corner_mask, map_corners, map_corner_mask, cfg)
+    rp, Jp, wp = plane_correspondences(
+        pose, surfs, surf_mask, map_surfs, map_surf_mask, cfg)
+    Hl, _ = accumulate_normal_eqs(rl, Jl, wl)
+    Hp, _ = accumulate_normal_eqs(rp, Jp, wp)
+    cost = (jnp.einsum("qr,q,qr->", rl, wl, rl)
+            + jnp.einsum("qr,q,qr->", rp, wp, rp))
+    return IcpResult(
+        pose=pose,
+        hessian=Hl + Hp,
+        cost=cost,
+        n_corr=jnp.sum(wl) + jnp.sum(wp),
+        degenerate=degen,
+    )
