@@ -1,0 +1,273 @@
+"""LiDAR front-end tests: raycaster geometry, feature extraction, ICP
+registration against known relative poses, full scan-to-map odometry on
+synthetic worlds, and the headline thesis behavior — the ICP Hessian's
+log-det dropping inside a geometrically degenerate corridor.
+
+The reference has no tests for LOAM at all (it is an external fork); the
+validation here is against exact synthetic geometry instead.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vil_sensor_fusion_tpu import degeneracy as deg
+from vil_sensor_fusion_tpu.core import lie
+from vil_sensor_fusion_tpu.data import raycast as rc
+from vil_sensor_fusion_tpu.frontends import lidar as L
+
+DTYPE = jnp.float32  # the lidar path is designed for on-device f32
+
+
+def _pose(x=0.0, y=0.0, z=1.5, yaw=0.0):
+    q = lie.so3_exp_quat(jnp.array([0.0, 0.0, yaw], DTYPE))
+    return lie.pose_make(q, jnp.array([x, y, z], DTYPE))
+
+
+class TestRaycast:
+    def test_corridor_ranges(self):
+        w = rc.corridor_world(width=8.0, height=5.0)
+        sweep = rc.raycast(w, _pose())
+        # A ray pointing straight at the wall (+y) from the center hits at 4 m.
+        xyz = np.asarray(sweep.xyz)
+        m = np.asarray(sweep.mask)
+        # Horizontal ring (elevation 0 = ring 8 is +1°; ring 7 is -1°...)
+        # column for azimuth +90° (towards +y): az bin of pi/2.
+        col = int((np.pi / 2 + np.pi) / (2 * np.pi) * L.AZIMUTH)
+        for ring in (7, 8):
+            p = xyz[ring, col]
+            assert m[ring, col] == 1.0
+            assert abs(p[1] - 4.0) < 0.05, p
+
+    def test_town_hits_ground_and_boxes(self):
+        w = rc.town_world(n_boxes=16, seed=1)
+        sweep = rc.raycast(w, _pose())
+        frac = float(np.mean(np.asarray(sweep.mask)))
+        assert frac > 0.4   # most downward/side rays hit something
+
+    def test_sensor_frame(self):
+        """Points come back in the sensor frame regardless of world pose."""
+        w = rc.corridor_world()
+        s1 = rc.raycast(w, _pose(x=0.0))
+        s2 = rc.raycast(w, _pose(x=5.0))  # translated along corridor
+        # The corridor is x-invariant → identical sweeps.
+        np.testing.assert_allclose(
+            np.asarray(s1.rng), np.asarray(s2.rng), atol=1e-3)
+
+
+class TestFeatures:
+    def test_walls_are_flat_boxes_make_corners(self):
+        w_box = rc.town_world(n_boxes=20, seed=0)
+        sweep = rc.raycast(w_box, _pose())
+        fs = L.extract(sweep)
+        assert float(jnp.sum(fs.flat_mask)) > 50
+        assert float(jnp.sum(fs.sharp_mask)) > 5
+        assert float(jnp.sum(fs.less_flat_mask)) > 200
+
+    def test_corridor_has_no_corners(self):
+        w = rc.corridor_world()
+        sweep = rc.raycast(w, _pose())
+        fs = L.extract(sweep)
+        n_flat = float(jnp.sum(fs.flat_mask))
+        n_sharp = float(jnp.sum(fs.sharp_mask))
+        assert n_flat > 100
+        assert n_sharp < 0.05 * n_flat
+
+    def test_curvature_planar_is_low(self):
+        w = rc.corridor_world()
+        sweep = rc.raycast(w, _pose())
+        c, valid = L.features.curvature(sweep)
+        # median curvature of valid points on smooth walls is tiny
+        cv = np.asarray(c)[np.asarray(valid) > 0]
+        assert np.median(cv) < 0.01
+
+
+def _to_world(pose, pts):
+    return lie.quat_rotate(lie.pose_quat(pose)[None], pts) \
+        + lie.pose_trans(pose)[None]
+
+
+def _voxel_map(pts_w, mask, center, leaf, capacity=16384):
+    """Build the registration target the way the odometry pipeline does —
+    voxel-downsampled (LOAM's map leaf sizes). Matching against a raw sweep
+    is pathological: same-ring azimuth arcs give collinear 5-NN sets."""
+    cfg = L.VoxelMapConfig(capacity=capacity, leaf=leaf)
+    m = L.voxelmap.insert(L.voxelmap.empty(cfg, DTYPE), pts_w, mask,
+                          center, cfg)
+    return m.points, m.mask
+
+
+class TestIcp:
+    def _register_known_motion(self, world, xi, degen_eigval=5.0):
+        """Build a voxel map from the sweep at p0; register a second sweep
+        taken from a perturbed pose, starting the GN at p0."""
+        p0 = _pose()
+        p1 = lie.pose_retract(p0, jnp.asarray(xi, DTYPE))
+        s0 = rc.raycast(world, p0)
+        s1 = rc.raycast(world, p1)
+        f0 = L.extract(s0)
+        f1 = L.extract(s1)
+
+        center = lie.pose_trans(p0)
+        mc, mcm = _voxel_map(_to_world(p0, f0.less_sharp),
+                             f0.less_sharp_mask, center, leaf=0.2)
+        ms, msm = _voxel_map(
+            _to_world(p0, jnp.concatenate([f0.flat, f0.less_flat])),
+            jnp.concatenate([f0.flat_mask, f0.less_flat_mask]),
+            center, leaf=0.4)
+
+        cfg = L.IcpConfig(iters=8, degen_eigval=degen_eigval)
+        res = L.register(
+            p0,  # guess = previous pose
+            f1.less_sharp, f1.less_sharp_mask,
+            jnp.concatenate([f1.flat, f1.less_flat]),
+            jnp.concatenate([f1.flat_mask, f1.less_flat_mask]),
+            mc, mcm, ms, msm,
+            cfg,
+        )
+        return p1, res
+
+    def test_recovers_small_motion_town(self):
+        w = rc.town_world(n_boxes=24, seed=2)
+        xi = [0.3, 0.1, 0.02, 0.0, 0.0, 0.03]
+        p1, res = self._register_known_motion(w, xi)
+        err = lie.pose_local(p1, res.pose)
+        # ~0.05 m residual is the voxel-representative quantization floor of
+        # a single-sweep map (0.4 m leaf); the odometry pipeline refines the
+        # map over sweeps and lands well under this.
+        assert float(jnp.linalg.norm(err[:3])) < 0.08
+        assert float(jnp.linalg.norm(err[3:])) < 0.015
+
+    def test_hessian_degenerate_in_corridor(self):
+        """The thesis's core signal: in a featureless corridor the ICP
+        Hessian's translation block collapses along the corridor axis (x),
+        while in a box town it is well conditioned."""
+        w_cor = rc.corridor_world()
+        w_town = rc.town_world(n_boxes=24, seed=2)
+        _, res_cor = self._register_known_motion(
+            w_cor, [0.2, 0.0, 0.0, 0.0, 0.0, 0.0])
+        _, res_town = self._register_known_motion(
+            w_town, [0.2, 0.0, 0.0, 0.0, 0.0, 0.0])
+        Ht_cor = np.asarray(res_cor.hessian)[:3, :3]
+        Ht_town = np.asarray(res_town.hessian)[:3, :3]
+        ev_cor = np.linalg.eigvalsh(Ht_cor)
+        ev_town = np.linalg.eigvalsh(Ht_town)
+        # Corridor: the along-axis information collapses ~100× relative to
+        # the constrained directions (never exactly 0 — junction mixtures
+        # leave residual info; that is WHY LOAM thresholds at 30-40).
+        assert ev_cor[0] < 2e-2 * ev_cor[-1]
+        # Town: worst direction still carries strong information.
+        assert ev_town[0] > 0.3 * ev_town[-1]
+        # E-opt (LOAM's own criterion) separates the two scenes cleanly.
+        assert ev_cor[0] < 0.2 * ev_town[0]
+        # The thesis's log-det gate separates them with a tuned threshold
+        # (the reference's 28.9 was hand-tuned the same way,
+        # fusion_params.yaml:35-36).
+        ld_cor = float(np.linalg.slogdet(Ht_cor)[1])
+        ld_town = float(np.linalg.slogdet(Ht_town)[1])
+        assert ld_cor < ld_town
+        thresh = 0.5 * (ld_cor + ld_town)
+        g = deg.logdet_gate(
+            jnp.stack([res_cor.hessian, res_town.hessian]),
+            deg.GateConfig(rot_threshold=-1e9, trans_threshold=thresh))
+        assert float(g.keep[0]) == 0.0
+        assert float(g.keep[1]) == 1.0
+
+    def test_degeneracy_projection_freezes_bad_direction(self):
+        """With the LOAM eigenvalue clamp, the corridor registration must not
+        move the estimate along the unobservable axis."""
+        w = rc.corridor_world()
+        p0 = _pose()
+        s0 = rc.raycast(w, p0)
+        f0 = L.extract(s0)
+
+        center = lie.pose_trans(p0)
+        mc, mcm = _voxel_map(_to_world(p0, f0.less_sharp),
+                             f0.less_sharp_mask, center, leaf=0.2)
+        ms, msm = _voxel_map(
+            _to_world(p0, jnp.concatenate([f0.flat, f0.less_flat])),
+            jnp.concatenate([f0.flat_mask, f0.less_flat_mask]),
+            center, leaf=0.4)
+
+        # Same sweep, but guess displaced 0.5 m along x: since the corridor
+        # is x-invariant the cost is flat along x; the projected update must
+        # leave x untouched instead of wandering. Threshold in the spirit of
+        # LOAM's odomDegenEigVal/mapDegenEigVal (30/40), set between the
+        # corridor's residual x-information and its constrained directions.
+        guess = lie.pose_retract(p0, jnp.array([0.5, 0, 0, 0, 0, 0], DTYPE))
+        cfg = L.IcpConfig(iters=8, degen_eigval=60.0)
+        res = L.register(
+            guess,
+            f0.less_sharp, f0.less_sharp_mask,
+            jnp.concatenate([f0.flat, f0.less_flat]),
+            jnp.concatenate([f0.flat_mask, f0.less_flat_mask]),
+            mc, mcm, ms, msm,
+            cfg,
+        )
+        moved = lie.pose_local(guess, res.pose)
+        assert abs(float(moved[0])) < 0.05         # x frozen
+        assert float(res.degenerate.max()) == 1.0  # flagged
+
+
+class TestVoxelMap:
+    def test_insert_dedup_and_submap(self):
+        cfg = L.VoxelMapConfig(capacity=1024, leaf=0.5)
+        m = L.voxelmap.empty(cfg, DTYPE)
+        rng = np.random.default_rng(0)
+        pts = jnp.asarray(rng.uniform(-10, 10, (500, 3)), DTYPE)
+        center = jnp.zeros(3, DTYPE)
+        m = L.voxelmap.insert(m, pts, jnp.ones(500, DTYPE), center, cfg)
+        n1 = float(jnp.sum(m.mask))
+        assert 0 < n1 <= 500
+        # Re-inserting the same points must not grow the map (dedup).
+        m2 = L.voxelmap.insert(m, pts, jnp.ones(500, DTYPE), center, cfg)
+        assert float(jnp.sum(m2.mask)) == pytest.approx(n1)
+        # Submap returns the nearest subset.
+        sub = L.voxelmap.submap(m2, center, 64)
+        assert float(jnp.sum(sub.mask)) == 64
+        d_sub = np.linalg.norm(np.asarray(sub.points), axis=-1)
+        d_all = np.linalg.norm(np.asarray(m2.points[m2.mask > 0]), axis=-1)
+        assert d_sub.max() <= np.partition(d_all, 63)[63] + 1e-5
+
+    def test_eviction_keeps_capacity(self):
+        cfg = L.VoxelMapConfig(capacity=128, leaf=0.1)
+        m = L.voxelmap.empty(cfg, DTYPE)
+        rng = np.random.default_rng(1)
+        for i in range(3):
+            pts = jnp.asarray(rng.uniform(-50, 50, (200, 3)), DTYPE)
+            m = L.voxelmap.insert(m, pts, jnp.ones(200, DTYPE),
+                                  jnp.zeros(3, DTYPE), cfg)
+        assert float(jnp.sum(m.mask)) == 128
+
+
+class TestOdometryPipeline:
+    def test_tracks_straight_drive_in_town(self):
+        w = rc.town_world(n_boxes=32, seed=4)
+        T = 10
+        xs = jnp.arange(T, dtype=DTYPE) * 0.4       # 4 m/s at 10 Hz
+        poses_gt = jax.vmap(lambda x: _pose(x=x))(xs)
+        sweeps = rc.sweep_series(w, poses_gt)
+
+        cfg = L.LidarOdomConfig(icp=L.IcpConfig(iters=8, degen_eigval=5.0))
+        st = L.odometry.init(cfg, DTYPE)
+
+        @jax.jit
+        def drive(st, sweeps):
+            def body(carry, sweep):
+                st, prev, prev2 = carry
+                guess = L.constant_velocity_guess(prev, prev2)
+                st, res = L.odometry.step(cfg, st, sweep, guess)
+                return (st, res.pose, prev), res
+
+            init_pose = poses_gt[0]
+            (st, _, _), out = jax.lax.scan(
+                body, (st, init_pose, init_pose), sweeps)
+            return st, out
+
+        st, out = drive(st, sweeps)
+        err = np.linalg.norm(
+            np.asarray(lie.pose_trans(out.pose))
+            - np.asarray(lie.pose_trans(poses_gt)), axis=-1)
+        # First pose is pinned to the guess; subsequent tracked within 10 cm.
+        assert err[1:].max() < 0.1, err

@@ -39,6 +39,8 @@ class IcpConfig(NamedTuple):
     max_corr_dist: float = 1.0       # correspondence gating radius
     line_eig_ratio: float = 3.0      # λ1 > ratio·λ2 ⇒ valid line (LOAM rule)
     plane_fit_tol: float = 0.2       # max point-plane misfit in the 5-NN fit
+    plane_eig_ratio: float = 3.0     # λ_mid > ratio·λ_min ⇒ genuinely planar
+    plane_mid_eig_min: float = 0.01  # absolute 2nd-direction spread floor (m²)
     degen_eigval: float = 40.0       # mapDegenEigVal
     damping: float = 1e-6
 
@@ -120,27 +122,33 @@ def line_correspondences(
 def plane_correspondences(
     pose, surfs, surf_mask, map_surfs, map_mask, cfg: IcpConfig,
 ):
-    """Point-to-plane: 5-NN plane fit by least squares (LaserMapping's
-    surface matching, incl. the 0.2 m fit-validity check).
+    """Point-to-plane: 5-NN plane fit via the smallest-eigenvector of the
+    neighbor scatter (LaserMapping's surface matching, incl. the 0.2 m
+    fit-validity check). LOAM fits ``n·x = −1`` by least squares, which is
+    singular for planes through the target-frame origin; the eigen fit is
+    the same plane without that failure mode.
 
     Returns (res (Q,1), J (Q,1,6), w (Q,))."""
     p_map = _transform(pose, surfs)
     idx, d2 = knn(p_map, surf_mask, map_surfs, map_mask)
     nn = map_surfs[idx]                                   # (Q, K, 3)
-    # Solve nn @ n = -1 for plane normal (LOAM's Ax=b plane fit).
-    ones = -jnp.ones(nn.shape[:2] + (1,), nn.dtype)
-    AtA = jnp.einsum("qki,qkj->qij", nn, nn)
-    Atb = jnp.einsum("qki,qk->qi", nn, ones[..., 0])
-    eye3 = jnp.eye(3, dtype=nn.dtype)
-    n_raw = jnp.linalg.solve(AtA + 1e-9 * eye3[None], Atb)
-    norm = jnp.linalg.norm(n_raw, axis=-1, keepdims=True)
-    n = n_raw / jnp.maximum(norm, 1e-12)
-    d_off = 1.0 / jnp.maximum(norm[..., 0], 1e-12)        # plane: n·x + d = 0
-    # Fit validity: every neighbor within plane_fit_tol of the plane.
+    centroid = jnp.mean(nn, axis=1)
+    dc = nn - centroid[:, None, :]
+    cov = jnp.einsum("qki,qkj->qij", dc, dc) / KNN_K
+    eigval, eigvec = jnp.linalg.eigh(cov)                 # ascending
+    n = eigvec[..., 0]                                    # smallest → normal
+    d_off = -jnp.einsum("qi,qi->q", n, centroid)          # plane: n·x + d = 0
+    # Fit validity: every neighbor within plane_fit_tol of the plane, AND a
+    # genuinely planar scatter (collinear/clustered neighbor sets have an
+    # arbitrary smallest eigenvector — their 'normal' is garbage).
     fit = jnp.abs(jnp.einsum("qki,qi->qk", nn, n) + d_off[:, None])
     good_fit = jnp.max(fit, axis=-1) < cfg.plane_fit_tol
+    planar = (eigval[..., 1] > cfg.plane_eig_ratio
+              * jnp.maximum(eigval[..., 0], 1e-6)) \
+        & (eigval[..., 1] > cfg.plane_mid_eig_min)
     near = d2[:, -1] < cfg.max_corr_dist ** 2
-    w = surf_mask * good_fit.astype(surfs.dtype) * near.astype(surfs.dtype)
+    w = (surf_mask * good_fit.astype(surfs.dtype)
+         * planar.astype(surfs.dtype) * near.astype(surfs.dtype))
 
     res = (jnp.einsum("qi,qi->q", n, p_map) + d_off)[:, None]   # (Q, 1)
     R = lie.quat_to_rot(lie.pose_quat(pose))
@@ -153,7 +161,14 @@ def plane_correspondences(
 
 def accumulate_normal_eqs(res, J, w):
     """H = Σ w JᵀJ, g = Σ w Jᵀr — shardable over the point axis: under
-    shard_map these become psum-reduced partial sums (parallel.icp_psum)."""
+    shard_map these become psum-reduced partial sums (parallel.ops).
+
+    Zero-weight rows are explicitly zeroed first: a garbage residual from an
+    invalid correspondence may be non-finite, and 0·inf would poison the sum.
+    """
+    ok = (w > 0)[:, None]
+    res = jnp.where(ok, res, 0.0)
+    J = jnp.where(ok[..., None], J, 0.0)
     H = jnp.einsum("qri,q,qrj->ij", J, w, J)
     g = jnp.einsum("qri,q,qr->i", J, w, res)
     return H, g
@@ -211,6 +226,8 @@ def register(
         pose, surfs, surf_mask, map_surfs, map_surf_mask, cfg)
     Hl, _ = accumulate_normal_eqs(rl, Jl, wl)
     Hp, _ = accumulate_normal_eqs(rp, Jp, wp)
+    rl = jnp.where((wl > 0)[:, None], rl, 0.0)
+    rp = jnp.where((wp > 0)[:, None], rp, 0.0)
     cost = (jnp.einsum("qr,q,qr->", rl, wl, rl)
             + jnp.einsum("qr,q,qr->", rp, wp, rp))
     return IcpResult(

@@ -76,7 +76,7 @@ def insert(
     # real voxel; priority: old points (lower index) win via stable sort.
     big = jnp.asarray(2_000_000_000, jnp.int32)
     keys = jnp.where(ok > 0, keys, big - jnp.arange(N, dtype=jnp.int32))
-    order = jnp.argsort(keys, kind="stable")
+    order = jnp.argsort(keys, stable=True)
     sorted_keys = keys[order]
     first = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_keys[1:] != sorted_keys[:-1]])

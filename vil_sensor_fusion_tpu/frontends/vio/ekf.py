@@ -1,0 +1,359 @@
+"""Visual-inertial EKF — the capability-parity replacement for ROVIO
+(RSL fork `tim-experimental`, configured by
+gtsam_fusion/config/carla/rovio.cfg): IMU-propagated error-state EKF with
+landmarks in the state, iterated camera updates, and **LiDAR-provided
+feature depth** for landmark initialization (the thesis's customization,
+rovio.cfg:133-138 ``useDepthFromLiDAR true``).
+
+Differences from ROVIO by design (SURVEY.md §7.6): updates are geometric
+reprojection residuals on tracked features rather than direct photometric
+patch errors — same estimator structure (robocentric information flow,
+iterated update, landmark states), same outputs (20 Hz odometry + 6×6 pose
+covariance for the degeneracy metrics), far better fit to batched TPU
+execution (the whole update is dense linear algebra on a ~100-dim state).
+
+State: pose (q wxyz, p), vel, bias(ba, bg), M landmark world points.
+Error order: [δθ(3) | δp(3) | δv(3) | δba(3) | δbg(3) | δl₁(3) … δl_M(3)],
+right perturbation on rotation (R ≈ R̂·Exp(δθ)).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ...core import lie
+from . import camera as C
+
+IMU_DIM = 15
+
+
+class VioConfig(NamedTuple):
+    num_landmarks: int = 32
+    # Continuous-time noise densities (same scalars the reference's IMU
+    # config exposes, fusion_params.yaml:24-29).
+    cov_accel: float = 1e-3
+    cov_gyro: float = 1e-5
+    cov_bias_acc: float = 1e-6
+    cov_bias_omega: float = 1e-8
+    gravity: float = 9.81
+    pixel_sigma: float = 1.0
+    update_iters: int = 2            # iterated EKF passes (ROVIO-style)
+    chi2_gate: float = 9.21          # 2-dof 99% gate per feature
+    cam: C.Camera = C.carla_camera()
+    # camera-from-imu extrinsics (identity: camera at the IMU, z forward)
+    pose_ic: tuple = (1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+
+
+class VioState(NamedTuple):
+    pose: jnp.ndarray       # (7,) world_T_imu
+    vel: jnp.ndarray        # (3,)
+    bias: jnp.ndarray       # (6,) (ba, bg)
+    landmarks: jnp.ndarray  # (M, 3) world points
+    lm_valid: jnp.ndarray   # (M,) 0/1
+    cov: jnp.ndarray        # (D, D), D = 15 + 3M
+
+
+def _dim(cfg: VioConfig) -> int:
+    return IMU_DIM + 3 * cfg.num_landmarks
+
+
+def init(
+    cfg: VioConfig,
+    pose0: jnp.ndarray,
+    vel0: jnp.ndarray,
+    bias0: jnp.ndarray,
+    sigmas: tuple = (1e-3, 1e-3, 1e-2, 1e-2, 1e-3),
+) -> VioState:
+    """sigmas: (rot, pos, vel, ba, bg) initial standard deviations."""
+    dtype = pose0.dtype
+    M = cfg.num_landmarks
+    D = _dim(cfg)
+    sr, sp, sv, sba, sbg = sigmas
+    diag = jnp.concatenate([
+        jnp.full((3,), sr ** 2), jnp.full((3,), sp ** 2),
+        jnp.full((3,), sv ** 2), jnp.full((3,), sba ** 2),
+        jnp.full((3,), sbg ** 2), jnp.full((3 * M,), 1e4),
+    ]).astype(dtype)
+    return VioState(
+        pose=pose0, vel=vel0, bias=bias0,
+        landmarks=jnp.zeros((M, 3), dtype),
+        lm_valid=jnp.zeros((M,), dtype),
+        cov=jnp.diag(diag),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IMU propagation
+# ---------------------------------------------------------------------------
+
+def propagate(
+    cfg: VioConfig,
+    s: VioState,
+    accel: jnp.ndarray,     # (N, 3)
+    gyro: jnp.ndarray,      # (N, 3)
+    dts: jnp.ndarray,       # (N,) (0 ⇒ masked sample)
+) -> VioState:
+    """Error-state EKF propagation over an IMU window (lax.scan).
+
+    Landmarks are static: only the 15 IMU rows/cols of the covariance move
+    (P_II ← F P_II Fᵀ + Q; P_IL ← F P_IL) — O(D·15) per sample instead of
+    O(D²)."""
+    dtype = s.pose.dtype
+    g_w = jnp.array([0.0, 0.0, -cfg.gravity], dtype)
+    M = cfg.num_landmarks
+
+    P_II = s.cov[:IMU_DIM, :IMU_DIM]
+    P_IL = s.cov[:IMU_DIM, IMU_DIM:]
+    P_LL = s.cov[IMU_DIM:, IMU_DIM:]
+
+    def step(carry, x):
+        q, p, v, bias, P_II, P_IL = carry
+        a_m, w_m, dt = x
+        live = (dt > 0).astype(dtype)
+        dt = jnp.maximum(dt, 1e-12)
+        ba, bg = bias[:3], bias[3:6]
+        a_c = a_m - ba
+        w_c = w_m - bg
+        R = lie.quat_to_rot(q)
+        a_w = R @ a_c + g_w
+
+        # Mean propagation.
+        q_new = lie.quat_mul(q, lie.so3_exp_quat(w_c * dt))
+        p_new = p + v * dt + 0.5 * a_w * dt * dt
+        v_new = v + a_w * dt
+
+        # Error-state transition.
+        theta = w_c * dt
+        dRk = lie.so3_exp(theta)
+        Jr = lie.so3_right_jacobian(theta)
+        I3 = jnp.eye(3, dtype=dtype)
+        Z3 = jnp.zeros((3, 3), dtype=dtype)
+        Ra = R @ lie.hat(a_c)
+        F = jnp.block([
+            [dRk.T,            Z3, Z3,      Z3,       -Jr * dt],
+            [-0.5 * Ra * dt * dt, I3, I3 * dt, -0.5 * R * dt * dt, Z3],
+            [-Ra * dt,          Z3, I3,      -R * dt,  Z3],
+            [Z3, Z3, Z3, I3, Z3],
+            [Z3, Z3, Z3, Z3, I3],
+        ])
+        q_g = cfg.cov_gyro / dt
+        q_a = cfg.cov_accel / dt
+        G = jnp.block([
+            [Jr * dt, Z3],
+            [Z3, 0.5 * R * dt * dt],
+            [Z3, R * dt],
+            [Z3, Z3],
+            [Z3, Z3],
+        ])
+        Qin = jnp.block([[I3 * q_g, Z3], [Z3, I3 * q_a]])
+        Q = G @ Qin @ G.T
+        Q = Q.at[9:12, 9:12].add(I3 * cfg.cov_bias_acc * dt)
+        Q = Q.at[12:15, 12:15].add(I3 * cfg.cov_bias_omega * dt)
+
+        P_II_new = F @ P_II @ F.T + Q
+        P_IL_new = F @ P_IL
+
+        def sel(n, o):
+            return live * n + (1.0 - live) * o
+
+        return (lie.quat_normalize(sel(q_new, q)), sel(p_new, p),
+                sel(v_new, v), bias, sel(P_II_new, P_II),
+                sel(P_IL_new, P_IL)), None
+
+    q0 = lie.pose_quat(s.pose)
+    p0 = lie.pose_trans(s.pose)
+    (q, p, v, bias, P_II, P_IL), _ = jax.lax.scan(
+        step, (q0, p0, s.vel, s.bias, P_II, P_IL), (accel, gyro, dts))
+
+    cov = jnp.zeros_like(s.cov)
+    cov = cov.at[:IMU_DIM, :IMU_DIM].set(P_II)
+    cov = cov.at[:IMU_DIM, IMU_DIM:].set(P_IL)
+    cov = cov.at[IMU_DIM:, :IMU_DIM].set(P_IL.T)
+    cov = cov.at[IMU_DIM:, IMU_DIM:].set(P_LL)
+    return s._replace(pose=lie.pose_make(q, p), vel=v, cov=cov)
+
+
+# ---------------------------------------------------------------------------
+# Camera update
+# ---------------------------------------------------------------------------
+
+def _retract(cfg: VioConfig, s: VioState, dx: jnp.ndarray) -> VioState:
+    q = lie.quat_mul(lie.pose_quat(s.pose), lie.so3_exp_quat(dx[0:3]))
+    p = lie.pose_trans(s.pose) + dx[3:6]
+    M = cfg.num_landmarks
+    return s._replace(
+        pose=lie.pose_make(lie.quat_normalize(q), p),
+        vel=s.vel + dx[6:9],
+        bias=s.bias + dx[9:15],
+        landmarks=s.landmarks + dx[IMU_DIM:].reshape(M, 3),
+    )
+
+
+def _predict_pixels(cfg: VioConfig, s: VioState):
+    """Project all landmarks into the camera: (M, 2) pixels + visibility."""
+    pose_wc = lie.pose_compose(s.pose, jnp.asarray(cfg.pose_ic, s.pose.dtype))
+    p_cam = lie.quat_rotate(
+        lie.quat_conjugate(lie.pose_quat(pose_wc))[None],
+        s.landmarks - lie.pose_trans(pose_wc)[None])
+    return C.project(cfg.cam, p_cam)
+
+
+def update(
+    cfg: VioConfig,
+    s: VioState,
+    obs_uv: jnp.ndarray,     # (M, 2) measured pixels per landmark slot
+    obs_valid: jnp.ndarray,  # (M,) 0/1
+) -> VioState:
+    """Iterated EKF update from tracked-feature observations.
+
+    Masked features get effectively infinite measurement variance; a χ²
+    gate additionally drops outlier tracks (ROVIO's Mahalanobis check)."""
+    dtype = s.pose.dtype
+    M = cfg.num_landmarks
+    D = _dim(cfg)
+    R_pix = cfg.pixel_sigma ** 2
+    s0 = s
+
+    def one_iter(_, s_i):
+        # Residual and Jacobian at current iterate, reference linearization
+        # error relative to s0 (standard IEKF form).
+        def h_of(dx):
+            sp = _retract(cfg, s0, dx)
+            uv, _ = _predict_pixels(cfg, sp)
+            return uv.reshape(-1)
+
+        dx_i = _boxminus(cfg, s_i, s0)
+        pred = h_of(dx_i).reshape(M, 2)
+        H = jax.jacfwd(h_of)(dx_i)                    # (2M, D)
+        r = (obs_uv - pred).reshape(-1)               # (2M,)
+
+        _, vis = _predict_pixels(cfg, s_i)
+        w = obs_valid * s.lm_valid * vis.astype(dtype)
+
+        # χ² gate per landmark on the innovation.
+        HP = H @ s0.cov                               # (2M, D)
+        S_diag = jnp.einsum("md,md->m", HP, H) + R_pix
+        r2 = r * r
+        chi2 = (r2[0::2] / S_diag[0::2] + r2[1::2] / S_diag[1::2])
+        w = w * (chi2 < cfg.chi2_gate).astype(dtype)
+
+        w2 = jnp.repeat(w, 2)
+        big = jnp.asarray(1e12, dtype)
+        R_eff = jnp.where(w2 > 0, R_pix, big)
+        S = HP @ H.T + jnp.diag(R_eff)
+        K = jnp.linalg.solve(S, HP).T                 # (D, 2M)
+        # IEKF (Bell–Cathey): minimize ‖dx‖²_{P0} + ‖z − h(s0⊞dx)‖²_R with h
+        # linearized at the current iterate: dx* = K (r + H·dx_i).
+        return _retract(cfg, s0, K @ (r + H @ dx_i))
+
+    s_new = jax.lax.fori_loop(0, cfg.update_iters, one_iter, s)
+
+    # Covariance update (Joseph) at the final linearization point.
+    def h_of(dx):
+        sp = _retract(cfg, s0, dx)
+        uv, _ = _predict_pixels(cfg, sp)
+        return uv.reshape(-1)
+
+    dx_f = _boxminus(cfg, s_new, s0)
+    H = jax.jacfwd(h_of)(dx_f)
+    pred = h_of(dx_f).reshape(M, 2)
+    _, vis = _predict_pixels(cfg, s_new)
+    w = obs_valid * s.lm_valid * vis.astype(dtype)
+    r = (obs_uv - pred).reshape(-1)
+    HP = H @ s0.cov
+    S_diag = jnp.einsum("md,md->m", HP, H) + R_pix
+    r2 = r * r
+    chi2 = (r2[0::2] / S_diag[0::2] + r2[1::2] / S_diag[1::2])
+    w = w * (chi2 < cfg.chi2_gate).astype(dtype)
+    w2 = jnp.repeat(w, 2)
+    R_eff = jnp.where(w2 > 0, R_pix, jnp.asarray(1e12, dtype))
+    S = HP @ H.T + jnp.diag(R_eff)
+    K = jnp.linalg.solve(S, HP).T
+    I_KH = jnp.eye(D, dtype=dtype) - K @ H
+    cov = I_KH @ s0.cov @ I_KH.T + K @ jnp.diag(R_eff) @ K.T
+    return s_new._replace(cov=0.5 * (cov + cov.T))
+
+
+def _boxminus(cfg: VioConfig, s_a: VioState, s_b: VioState) -> jnp.ndarray:
+    """Error vector of a relative to b (right convention)."""
+    dq = lie.quat_log(lie.quat_mul(
+        lie.quat_conjugate(lie.pose_quat(s_b.pose)), lie.pose_quat(s_a.pose)))
+    return jnp.concatenate([
+        dq,
+        lie.pose_trans(s_a.pose) - lie.pose_trans(s_b.pose),
+        s_a.vel - s_b.vel,
+        s_a.bias - s_b.bias,
+        (s_a.landmarks - s_b.landmarks).reshape(-1),
+    ])
+
+
+# ---------------------------------------------------------------------------
+# Landmark lifecycle
+# ---------------------------------------------------------------------------
+
+def init_landmark(
+    cfg: VioConfig,
+    s: VioState,
+    slot: jnp.ndarray,
+    uv: jnp.ndarray,
+    depth: jnp.ndarray,
+    depth_sigma: jnp.ndarray,
+    enable: jnp.ndarray,
+) -> VioState:
+    """(Re-)initialize landmark ``slot`` from a pixel + depth — the
+    useDepthFromLiDAR path (rovio.cfg:133-138): depth from the LiDAR sweep,
+    pixel from the tracker. Covariance rows/cols of the slot are reset from
+    the backprojection Jacobian; cross terms to the pose are kept zero
+    (conservative, consistent)."""
+    dtype = s.pose.dtype
+    pose_wc = lie.pose_compose(s.pose, jnp.asarray(cfg.pose_ic, dtype))
+    p_cam = C.backproject(cfg.cam, uv, depth)
+    l_w = lie.quat_rotate(lie.pose_quat(pose_wc), p_cam) \
+        + lie.pose_trans(pose_wc)
+
+    # J of l_w wrt (u, v, depth)
+    def bp(x):
+        return lie.quat_rotate(
+            lie.pose_quat(pose_wc), C.backproject(cfg.cam, x[:2], x[2]))
+
+    x0 = jnp.concatenate([uv, depth[None]])
+    J = jax.jacfwd(bp)(x0)
+    Rm = jnp.diag(jnp.array([cfg.pixel_sigma ** 2, cfg.pixel_sigma ** 2,
+                             1.0], dtype) * jnp.array([1.0, 1.0, depth_sigma ** 2], dtype))
+    P_l = J @ Rm @ J.T + 1e-6 * jnp.eye(3, dtype=dtype)
+
+    i = IMU_DIM + 3 * slot
+    e = enable.astype(dtype)
+    lm = s.landmarks.at[slot].set(e * l_w + (1 - e) * s.landmarks[slot])
+    valid = s.lm_valid.at[slot].set(
+        jnp.where(enable, 1.0, s.lm_valid[slot]))
+
+    D = _dim(cfg)
+    cov = s.cov
+    # Zero the slot's rows/cols, then set the block — only when enabled.
+    row_idx = i + jnp.arange(3)
+    mask = jnp.any(
+        jnp.arange(D)[None, :] == row_idx[:, None], axis=0).astype(dtype)
+    keep = 1.0 - e * mask
+    cov = cov * keep[None, :] * keep[:, None]
+    cov = jax.lax.dynamic_update_slice(
+        cov,
+        e * P_l + (1 - e) * jax.lax.dynamic_slice(cov, (i, i), (3, 3)),
+        (i, i))
+    return s._replace(landmarks=lm, lm_valid=valid, cov=cov)
+
+
+def pose_covariance(cfg: VioConfig, s: VioState) -> jnp.ndarray:
+    """6×6 pose covariance in (trans, rot) order — the block the degeneracy
+    metrics consume from /rovio/odometry (degeneracy_detection.py:82-113)."""
+    P = s.cov[:6, :6]
+    # internal order (θ, p) → output (p, θ)
+    out = jnp.zeros_like(P)
+    out = out.at[:3, :3].set(P[3:6, 3:6])
+    out = out.at[3:6, 3:6].set(P[0:3, 0:3])
+    out = out.at[:3, 3:6].set(P[3:6, 0:3])
+    out = out.at[3:6, :3].set(P[0:3, 3:6])
+    return out
