@@ -1,0 +1,111 @@
+"""Whole-system test: VIO + LiDAR odometry + degeneracy gate + fusion on
+raycast worlds — the TPU equivalent of replaying a Carla bag through
+fusion_carla.launch and checking the diagnostics (SURVEY.md §4: 'the real
+validation path is empirical').
+
+Covers the two headline behaviors:
+- town drive: all stages healthy, fused ATE small;
+- corridor drive: the LiDAR Hessian goes translation-degenerate, the gate
+  drops those between-factors, fusion survives on VIO+IMU.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vil_sensor_fusion_tpu import eval as ev
+from vil_sensor_fusion_tpu import fusion as fu
+from vil_sensor_fusion_tpu import graph as G
+from vil_sensor_fusion_tpu.core import lie
+from vil_sensor_fusion_tpu.data import scenarios
+from vil_sensor_fusion_tpu.degeneracy import gate as DG
+from vil_sensor_fusion_tpu.frontends import lidar as L
+from vil_sensor_fusion_tpu.frontends import vio as V
+from vil_sensor_fusion_tpu.fusion import vil
+
+DTYPE = jnp.float32
+
+
+def _run_scenario(kind, duration=3.0, gate_cfg=None):
+    vio_cfg = V.VioConfig(num_landmarks=24, update_iters=2)
+    sc = scenarios.build(kind, duration=duration, vio_cfg=vio_cfg,
+                         dtype=DTYPE)
+    cfg = vil.VilConfig(
+        vio=vio_cfg,
+        lidar=L.LidarOdomConfig(icp=L.IcpConfig(iters=6, degen_eigval=5.0)),
+        gate=gate_cfg or DG.GateConfig(rot_threshold=-1e9,
+                                       trans_threshold=14.0),
+        fusion=fu.FusionConfig(
+            smoother=G.SmootherConfig(window=6, between_slots=12, gn_iters=4),
+            sensors=vil.VilConfig().fusion.sensors,
+            max_imu_per_gap=32,
+        ),
+    )
+    t0 = jnp.zeros((), DTYPE)
+    pose0 = sc.traj.pose_fn(t0)
+    vel0 = sc.traj.vel_fn(t0)
+    vio_state = V.init(cfg.vio, pose0, vel0, jnp.zeros(6, DTYPE))
+    lidar_state = L.odometry.init(cfg.lidar, DTYPE)
+    es = fu.init(cfg.fusion, pose0, vel0, jnp.zeros(6, DTYPE), t0)
+
+    es, res = vil.run_vil(
+        cfg,
+        sc.imu_times, sc.imu_accel, sc.imu_gyro,
+        sc.vio_times, sc.vio_frames, vio_state,
+        sc.lidar_times, sc.sweeps, lidar_state,
+        lidar_guess_from_vio_idx=sc.lidar_guess_idx,
+        engine_state=es,
+    )
+    gt_poses = np.asarray(jax.vmap(sc.traj.pose_fn)(res.timeline.times))
+    return sc, res, gt_poses
+
+
+class TestTownDrive:
+    def test_full_system_accuracy(self):
+        sc, res, gt = _run_scenario("town")
+        # Every stage sane:
+        vio_err = np.linalg.norm(
+            np.asarray(lie.pose_trans(res.vio_out.pose)) -
+            sc.gt_vio_poses[:, 4:7], axis=-1)
+        assert vio_err.max() < 0.3, vio_err.max()
+        lid_err = np.linalg.norm(
+            np.asarray(lie.pose_trans(res.lidar_out.pose)) -
+            sc.gt_lidar_poses[:, 4:7], axis=-1)
+        assert lid_err[1:].max() < 0.3, lid_err
+        # Town is well-conditioned: the gate keeps (almost) everything.
+        assert float(np.mean(np.asarray(res.gate.keep))) > 0.8
+        # Fused output beats 0.3 m ATE end-to-end.
+        ate = float(ev.ate_rmse(res.fused.poses, jnp.asarray(gt)))
+        assert ate < 0.3, ate
+
+
+class TestCorridorDrive:
+    def test_gate_fires_and_fusion_survives(self):
+        sc, res, gt = _run_scenario("corridor")
+        # The corridor's translation log-det collapses vs the town's.
+        _, res_town, _ = _run_scenario("town")
+        td_cor = np.asarray(res.gate.trans_d_opt)[2:]
+        td_town = np.asarray(res_town.gate.trans_d_opt)[2:]
+        assert td_cor.mean() < td_town.mean()
+        # With the tuned threshold, corridor sweeps are dropped.
+        keep_cor = np.asarray(res.gate.keep)[2:]
+        assert keep_cor.mean() < 0.5
+        # Fusion still tracks on VIO + IMU.
+        ate = float(ev.ate_rmse(res.fused.poses, jnp.asarray(gt)))
+        assert ate < 0.4, ate
+
+    def test_detector_roc_on_mixed_drive(self):
+        """The thesis's headline evaluation: ROC/AUC of the degeneracy
+        metric over labeled windows. Here labels are exact (world geometry),
+        scores are the per-sweep trans log-det: corridor sweeps must score
+        below town sweeps almost always → AUC ≈ 1."""
+        _, res_cor, _ = _run_scenario("corridor")
+        _, res_town, _ = _run_scenario("town")
+        scores = jnp.concatenate([
+            res_cor.gate.trans_d_opt[1:], res_town.gate.trans_d_opt[1:]])
+        labels = jnp.concatenate([
+            jnp.ones_like(res_cor.gate.trans_d_opt[1:], bool),
+            jnp.zeros_like(res_town.gate.trans_d_opt[1:], bool)])
+        curve = ev.roc_curve(labels, scores)
+        assert float(curve.auc) > 0.9, float(curve.auc)

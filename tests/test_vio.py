@@ -1,0 +1,139 @@
+"""VIO front-end tests: camera model, EKF propagation against analytic
+ground truth, landmark initialization, and the full filter tracking a
+trajectory from synthetic feature observations — the capability the
+reference delegates to ROVIO (configured, never tested, in-repo).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vil_sensor_fusion_tpu.core import lie
+from vil_sensor_fusion_tpu.data import synthetic as syn
+from vil_sensor_fusion_tpu.frontends import vio as V
+
+DTYPE = jnp.float64
+
+
+class TestCamera:
+    def test_project_backproject_roundtrip(self):
+        cam = V.carla_camera()
+        p = jnp.array([[1.0, -0.5, 5.0], [0.2, 0.3, 2.0]], DTYPE)
+        uv, ok = V.project(cam, p)
+        assert bool(ok.all())
+        p2 = V.backproject(cam, uv, p[:, 2])
+        np.testing.assert_allclose(np.asarray(p2), np.asarray(p), rtol=1e-12)
+
+    def test_behind_camera_invalid(self):
+        cam = V.carla_camera()
+        _, ok = V.project(cam, jnp.array([0.0, 0.0, -1.0], DTYPE))
+        assert not bool(ok)
+
+    def test_carla_intrinsics(self):
+        cam = V.carla_camera(800, 600, 100.0)
+        # fov 100° → fx = 400 / tan(50°)
+        assert cam.fx == pytest.approx(400.0 / np.tan(np.radians(50.0)), rel=1e-6)
+
+
+def _imu_window(traj, t0, t1, hz=200.0, n_pad=64):
+    ts = np.arange(t0, t1, 1.0 / hz)[1:]
+    ts = np.concatenate([ts, [t1]])
+    stream = syn.sample_imu(traj, jnp.asarray(ts, DTYPE))
+    n = len(ts)
+    accel = np.zeros((n_pad, 3)); gyro = np.zeros((n_pad, 3))
+    dts = np.zeros(n_pad)
+    accel[:n] = np.asarray(stream.accel); gyro[:n] = np.asarray(stream.gyro)
+    prev = np.concatenate([[t0], ts[:-1]])
+    dts[:n] = ts - prev
+    return (jnp.asarray(accel, DTYPE), jnp.asarray(gyro, DTYPE),
+            jnp.asarray(dts, DTYPE))
+
+
+class TestPropagation:
+    def test_zero_noise_imu_follows_truth(self):
+        traj = syn.circle(radius=12.0, period=10.0)
+        cfg = V.VioConfig(num_landmarks=4)
+        t0 = jnp.zeros((), DTYPE)
+        s = V.init(cfg, traj.pose_fn(t0), traj.vel_fn(t0), jnp.zeros(6, DTYPE))
+        t = 0.0
+        for _ in range(10):
+            a, g, dts = _imu_window(traj, t, t + 0.05)
+            s = V.propagate(cfg, s, a, g, dts)
+            t += 0.05
+        gt = traj.pose_fn(jnp.asarray(t, DTYPE))
+        err = lie.pose_local(gt, s.pose)
+        assert float(jnp.linalg.norm(err[:3])) < 1e-3
+        assert float(jnp.linalg.norm(err[3:])) < 1e-4
+
+    def test_covariance_grows_without_updates(self):
+        traj = syn.circle()
+        cfg = V.VioConfig(num_landmarks=4)
+        t0 = jnp.zeros((), DTYPE)
+        s = V.init(cfg, traj.pose_fn(t0), traj.vel_fn(t0), jnp.zeros(6, DTYPE))
+        tr0 = float(jnp.trace(s.cov[:6, :6]))
+        a, g, dts = _imu_window(traj, 0.0, 0.5, n_pad=128)
+        s = V.propagate(cfg, s, a, g, dts)
+        assert float(jnp.trace(s.cov[:6, :6])) > tr0
+
+
+class TestLandmarkInit:
+    def test_init_from_pixel_depth(self):
+        cfg = V.VioConfig(num_landmarks=4)
+        pose = lie.pose_make(
+            lie.so3_exp_quat(jnp.array([0.0, 0.0, 0.3], DTYPE)),
+            jnp.array([1.0, 2.0, 0.5], DTYPE))
+        s = V.init(cfg, pose, jnp.zeros(3, DTYPE), jnp.zeros(6, DTYPE))
+        # A known world point in front of the camera.
+        l_true = lie.pose_trans(pose) + lie.quat_rotate(
+            lie.pose_quat(pose), jnp.array([0.5, -0.2, 6.0], DTYPE))
+        p_cam = lie.quat_rotate(
+            lie.quat_conjugate(lie.pose_quat(pose)),
+            l_true - lie.pose_trans(pose))
+        uv, ok = V.project(cfg.cam, p_cam)
+        assert bool(ok)
+        s = V.init_landmark(cfg, s, jnp.asarray(1, jnp.int32), uv,
+                            p_cam[2], jnp.asarray(0.05, DTYPE),
+                            jnp.asarray(True))
+        np.testing.assert_allclose(
+            np.asarray(s.landmarks[1]), np.asarray(l_true), atol=1e-9)
+        assert float(s.lm_valid[1]) == 1.0
+        # Covariance block was reset from backprojection jacobian (small).
+        blk = np.asarray(s.cov[15 + 3:15 + 6, 15 + 3:15 + 6])
+        assert 0 < np.trace(blk) < 1.0
+        # Disabled init leaves everything alone.
+        s2 = V.init_landmark(cfg, s, jnp.asarray(2, jnp.int32), uv,
+                             p_cam[2], jnp.asarray(0.05, DTYPE),
+                             jnp.asarray(False))
+        assert float(s2.lm_valid[2]) == 0.0
+
+
+class TestFullFilter:
+    def test_tracks_circle_with_features(self):
+        traj = syn.circle(radius=12.0, period=10.0)
+        cfg = V.VioConfig(num_landmarks=24, pixel_sigma=1.0,
+                          update_iters=2)
+        T = 40
+        frame_times = (np.arange(T) + 1.0) / 20.0
+        poses_gt = np.asarray(jax.vmap(traj.pose_fn)(
+            jnp.asarray(frame_times, DTYPE)))
+        imu_w = V.synthetic.imu_windows_for_frames(
+            traj, frame_times, imu_hz=200.0, dtype=DTYPE)
+        lms = V.synthetic.landmark_field(300, seed=3, extent=30.0)
+        frames = V.synthetic.make_frames(
+            cfg, poses_gt, imu_w, lms, pixel_noise=0.5, depth_noise=0.05)
+
+        t0 = jnp.zeros((), DTYPE)
+        s = V.init(cfg, traj.pose_fn(t0), traj.vel_fn(t0), jnp.zeros(6, DTYPE))
+        s, out = jax.jit(lambda s, f: V.run(cfg, s, f))(s, frames)
+
+        err = np.linalg.norm(
+            np.asarray(lie.pose_trans(out.pose)) -
+            poses_gt[:, 4:7], axis=-1)
+        assert err.max() < 0.2, err
+        # Covariance output is (trans, rot)-ordered, SPD, and sane.
+        covs = np.asarray(out.cov)
+        assert covs.shape == (T, 6, 6)
+        eig = np.linalg.eigvalsh(covs)
+        assert (eig > -1e-9).all()
+        assert eig.max() < 1.0
