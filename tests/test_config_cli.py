@@ -1,0 +1,91 @@
+"""Config loading and CLI smoke tests."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from vil_sensor_fusion_tpu import config as C
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+class TestConfig:
+    def test_load_carla_yaml_matches_reference_values(self):
+        cfg = C.load(str(REPO / "configs" / "carla.yaml"))
+        # Values from gtsam_fusion/config/carla/fusion_params.yaml
+        assert cfg.gate.rot_threshold == 11.5
+        assert cfg.gate.trans_threshold == 28.9
+        assert cfg.imu.cov_accel == pytest.approx(1e-6)
+        assert cfg.imu.cov_bias_acc == pytest.approx(1e-4)
+        names = [s.name for s in cfg.sensor_specs]
+        assert names == ["lidar", "vio"]
+        lidar, vio = cfg.sensor_specs
+        assert not lidar.optimize_after_odom and vio.optimize_after_odom
+        assert lidar.covariance_linear == 0.2
+        assert vio.covariance_linear == 0.1
+        assert lidar.max_time_skip == 0.1
+        assert cfg.fusion.sensors == cfg.sensor_specs
+
+    def test_defaults(self, tmp_path):
+        p = tmp_path / "min.yaml"
+        p.write_text("sensors:\n  odom: {}\n")
+        cfg = C.load(str(p))
+        assert cfg.smoother.window == 8
+        assert cfg.gate.rot_threshold == 11.5
+
+
+class TestCli:
+    def test_convert_and_fuse_bag(self, tmp_path):
+        # Build a small bag with the test writer, convert it, fuse it.
+        sys.path.insert(0, str(REPO / "tests"))
+        import test_rosbag_io as W
+
+        rng = np.random.default_rng(0)
+        recs = b""
+        recs += W._conn_record(0, "/imu/fusion", "sensor_msgs/Imu")
+        recs += W._conn_record(1, "/rovio/odometry", "nav_msgs/Odometry")
+        for i in range(200):
+            t = 0.005 * i
+            recs += W._msg_record(0, t, W._imu_msg(
+                t, [0, 0, 0], [0, 0, 9.81]))
+        for i in range(10):
+            t = 0.1 * (i + 1)
+            recs += W._msg_record(1, t, W._odom_msg(
+                t, [0.0, 0, 0], [0, 0, 0, 1],
+                np.eye(6).reshape(-1) * 0.01, np.eye(6).reshape(-1) * 0.01))
+        bag = tmp_path / "mini.bag"
+        W._write_bag(bag, recs, chunked=True)
+
+        out = tmp_path / "mini.npz"
+        r = subprocess.run(
+            [sys.executable, "-m", "vil_sensor_fusion_tpu.cli", "convert",
+             "--bag", str(bag), "--out", str(out)],
+            cwd=REPO, capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, r.stderr
+        z = np.load(out)
+        assert len(z["imu_fusion_t"]) == 200
+
+        cfgp = tmp_path / "cfg.yaml"
+        cfgp.write_text(
+            "sensors:\n"
+            "  vio:\n"
+            "    odom_topic: /rovio/odometry\n"
+            "    optimize_after_odom: true\n"
+            "    covariance_linear: 0.01\n"
+            "    covariance_angular: 0.01\n"
+            "    max_time_skip: 0.2\n"
+            "imu:\n  topic: /imu/fusion\n"
+            "smoother:\n  window: 4\n  gn_iters: 3\n")
+        r = subprocess.run(
+            [sys.executable, "-m", "vil_sensor_fusion_tpu.cli", "fuse-bag",
+             "--bag", str(bag), "--config", str(cfgp)],
+            cwd=REPO, capture_output=True, text=True, timeout=500,
+            env={"PATH": "/usr/bin:/bin:/usr/local/bin",
+                 "JAX_PLATFORMS": "cpu", "HOME": "/root"})
+        assert r.returncode == 0, r.stderr
+        info = json.loads(r.stdout.strip().splitlines()[-1])
+        assert info["events"] == 10

@@ -61,9 +61,19 @@ def _run_scenario(kind, duration=3.0, gate_cfg=None):
     return sc, res, gt_poses
 
 
+@pytest.fixture(scope="module")
+def town_run():
+    return _run_scenario("town")
+
+
+@pytest.fixture(scope="module")
+def corridor_run():
+    return _run_scenario("corridor")
+
+
 class TestTownDrive:
-    def test_full_system_accuracy(self):
-        sc, res, gt = _run_scenario("town")
+    def test_full_system_accuracy(self, town_run):
+        sc, res, gt = town_run
         # Every stage sane:
         vio_err = np.linalg.norm(
             np.asarray(lie.pose_trans(res.vio_out.pose)) -
@@ -81,10 +91,10 @@ class TestTownDrive:
 
 
 class TestCorridorDrive:
-    def test_gate_fires_and_fusion_survives(self):
-        sc, res, gt = _run_scenario("corridor")
+    def test_gate_fires_and_fusion_survives(self, corridor_run, town_run):
+        sc, res, gt = corridor_run
         # The corridor's translation log-det collapses vs the town's.
-        _, res_town, _ = _run_scenario("town")
+        _, res_town, _ = town_run
         td_cor = np.asarray(res.gate.trans_d_opt)[2:]
         td_town = np.asarray(res_town.gate.trans_d_opt)[2:]
         assert td_cor.mean() < td_town.mean()
@@ -95,13 +105,13 @@ class TestCorridorDrive:
         ate = float(ev.ate_rmse(res.fused.poses, jnp.asarray(gt)))
         assert ate < 0.4, ate
 
-    def test_detector_roc_on_mixed_drive(self):
+    def test_detector_roc_on_mixed_drive(self, corridor_run, town_run):
         """The thesis's headline evaluation: ROC/AUC of the degeneracy
         metric over labeled windows. Here labels are exact (world geometry),
         scores are the per-sweep trans log-det: corridor sweeps must score
         below town sweeps almost always → AUC ≈ 1."""
-        _, res_cor, _ = _run_scenario("corridor")
-        _, res_town, _ = _run_scenario("town")
+        _, res_cor, _ = corridor_run
+        _, res_town, _ = town_run
         scores = jnp.concatenate([
             res_cor.gate.trans_d_opt[1:], res_town.gate.trans_d_opt[1:]])
         labels = jnp.concatenate([

@@ -1,0 +1,174 @@
+"""Command-line interface (SURVEY.md §7.11) — the roslaunch-file equivalents:
+
+  python -m vil_sensor_fusion_tpu.cli run --scenario town --duration 4
+      run the full VIL system on a synthetic scenario, print metrics
+      (replaces fusion_carla.launch replay)
+  python -m vil_sensor_fusion_tpu.cli fuse-bag --bag X.bag --config c.yaml
+      run the fusion back-end on a recorded bag's odometry+IMU topics
+      (replaces gtsam_fusion_node on a bag)
+  python -m vil_sensor_fusion_tpu.cli convert --bag X.bag --out X.npz
+      decode a bag's topics to arrays once (replaces rosbag play)
+  python -m vil_sensor_fusion_tpu.cli bench
+      the per-chip throughput benchmark (bench.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def cmd_run(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from . import eval as ev
+    from . import fusion as fu
+    from . import graph as G
+    from .data import scenarios
+    from .degeneracy import gate as DG
+    from .frontends import lidar as L
+    from .frontends import vio as V
+    from .fusion import vil
+
+    dtype = jnp.float32
+    vio_cfg = V.VioConfig(num_landmarks=24, update_iters=2)
+    sc = scenarios.build(args.scenario, duration=args.duration,
+                         vio_cfg=vio_cfg, dtype=dtype)
+    cfg = vil.VilConfig(
+        vio=vio_cfg,
+        lidar=L.LidarOdomConfig(icp=L.IcpConfig(iters=6, degen_eigval=5.0)),
+        gate=DG.GateConfig(rot_threshold=-1e9, trans_threshold=14.0),
+        fusion=fu.FusionConfig(
+            smoother=G.SmootherConfig(window=6, between_slots=12, gn_iters=4),
+            sensors=vil.VilConfig().fusion.sensors, max_imu_per_gap=32),
+    )
+    t0 = jnp.zeros((), dtype)
+    pose0 = sc.traj.pose_fn(t0)
+    vel0 = sc.traj.vel_fn(t0)
+    es, res = vil.run_vil(
+        cfg, sc.imu_times, sc.imu_accel, sc.imu_gyro,
+        sc.vio_times, sc.vio_frames,
+        V.init(cfg.vio, pose0, vel0, jnp.zeros(6, dtype)),
+        sc.lidar_times, sc.sweeps, L.odometry.init(cfg.lidar, dtype),
+        lidar_guess_from_vio_idx=sc.lidar_guess_idx,
+        engine_state=fu.init(cfg.fusion, pose0, vel0, jnp.zeros(6, dtype), t0),
+    )
+    gt = np.asarray(jax.vmap(sc.traj.pose_fn)(res.timeline.times))
+    out = {
+        "scenario": args.scenario,
+        "events": int(res.timeline.times.shape[0]),
+        "fused_ate_rmse_m": float(ev.ate_rmse(res.fused.poses,
+                                              jnp.asarray(gt, dtype))),
+        "gate_keep_fraction": float(np.mean(np.asarray(res.gate.keep))),
+        "lidar_trans_logdet_mean": float(
+            np.mean(np.asarray(res.gate.trans_d_opt))),
+    }
+    print(json.dumps(out, indent=2))
+
+
+def cmd_convert(args):
+    import numpy as np
+
+    from .data.rosbag_io import BagReader
+
+    with BagReader(args.bag) as bag:
+        topics = bag.topics()
+        arrays = {}
+        meta = {}
+        for topic, typ in topics.items():
+            key = topic.strip("/").replace("/", "_")
+            if typ == "sensor_msgs/Imu":
+                t, a, g = bag.read_imu(topic)
+                arrays[f"{key}_t"] = t
+                arrays[f"{key}_accel"] = a
+                arrays[f"{key}_gyro"] = g
+            elif typ == "nav_msgs/Odometry":
+                t, p, pc, tc = bag.read_odometry(topic)
+                arrays[f"{key}_t"] = t
+                arrays[f"{key}_pose"] = p
+                arrays[f"{key}_pose_cov"] = pc
+                arrays[f"{key}_twist_cov"] = tc
+            meta[topic] = typ
+        np.savez_compressed(args.out, **arrays)
+        print(json.dumps({"topics": meta, "out": args.out}, indent=2))
+
+
+def cmd_fuse_bag(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from . import config as C
+    from . import fusion as fu
+    from .core import lie
+    from .data.rosbag_io import BagReader
+
+    sys_cfg = C.load(args.config)
+    dtype = jnp.float32
+    with BagReader(args.bag) as bag:
+        imu_t, accel, gyro = bag.read_imu(sys_cfg.imu_topic)
+        sources = []
+        for name, spec in zip(sys_cfg.sensor_topics, sys_cfg.sensor_specs):
+            topic = sys_cfg.sensor_topics[name]
+            t, p, pc, tc = bag.read_odometry(topic)
+            cov = tc if spec.use_odom_covariance else pc
+            sources.append((t, p, cov, np.ones(len(t))))
+    tl = fu.merge_timeline(sources)
+    tl = jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, tl)
+    t0 = jnp.asarray(float(tl.times[0]) - 1e-3, dtype)
+    es = fu.init(sys_cfg.fusion, tl.odo_pose[0].astype(dtype),
+                 jnp.zeros(3, dtype), jnp.zeros(6, dtype), t0)
+    es, out = jax.jit(lambda es, tl: fu.run(
+        sys_cfg.fusion, es, tl, jnp.asarray(imu_t, dtype),
+        jnp.asarray(accel, dtype), jnp.asarray(gyro, dtype)))(es, tl)
+    res = np.stack([np.asarray(out.times)] + [
+        np.asarray(lie.pose_trans(out.poses))[:, i] for i in range(3)], axis=1)
+    if args.out:
+        np.savetxt(args.out, res, header="t x y z")
+    print(json.dumps({"events": int(res.shape[0]),
+                      "t_range": [float(res[0, 0]), float(res[-1, 0])]}))
+
+
+def cmd_bench(args):
+    import runpy
+    from pathlib import Path
+
+    runpy.run_path(str(Path(__file__).resolve().parents[1] / "bench.py"),
+                   run_name="__main__")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="vil_sensor_fusion_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="run full VIL on a synthetic scenario")
+    pr.add_argument("--scenario", default="town",
+                    choices=["town", "corridor"])
+    pr.add_argument("--duration", type=float, default=4.0)
+    pr.set_defaults(fn=cmd_run)
+
+    pc = sub.add_parser("convert", help="decode a rosbag to npz arrays")
+    pc.add_argument("--bag", required=True)
+    pc.add_argument("--out", required=True)
+    pc.set_defaults(fn=cmd_convert)
+
+    pf = sub.add_parser("fuse-bag", help="fusion back-end over a bag")
+    pf.add_argument("--bag", required=True)
+    pf.add_argument("--config", required=True)
+    pf.add_argument("--out", default="")
+    pf.set_defaults(fn=cmd_fuse_bag)
+
+    pb = sub.add_parser("bench", help="per-chip throughput benchmark")
+    pb.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

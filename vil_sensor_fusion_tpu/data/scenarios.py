@@ -108,6 +108,7 @@ def build(
     frames = V.synthetic.make_frames(
         vio_cfg, poses_gt_vio, imu_w, lms, pixel_noise=0.5,
         depth_noise=0.05, seed=seed + 2)
+    frames = jax.tree_util.tree_map(lambda x: x.astype(dtype), frames)
 
     lidar_times = (np.arange(int(duration * lidar_hz)) + 1.0) / lidar_hz
     poses_gt_lidar = np.asarray(

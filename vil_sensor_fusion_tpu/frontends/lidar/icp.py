@@ -60,26 +60,15 @@ def knn(
     t_mask: jnp.ndarray,      # (M,)
     k: int = KNN_K,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Masked brute-force KNN: returns (idx (Q,k), dist² (Q,k)).
+    """Masked brute-force KNN: returns (idx (Q,k), dist² (Q,k)), ascending.
 
-    Invalid targets get +inf distance; invalid queries return garbage rows
-    the caller must mask (their validity flows through q_mask)."""
-    t_sq = jnp.sum(targets * targets, axis=-1)
-    inf = jnp.asarray(jnp.inf, queries.dtype)
-    Q = queries.shape[0]
-    pad = (-Q) % QUERY_CHUNK
-    q = jnp.pad(queries, ((0, pad), (0, 0)))
-    chunks = q.reshape(-1, QUERY_CHUNK, 3)
+    Dispatches to the fused Pallas kernel on TPU / chunked-scan XLA
+    elsewhere (ops/knn.py). Invalid targets get +inf distance; invalid
+    queries return garbage rows the caller must mask (their validity flows
+    through q_mask)."""
+    from ...ops import knn as knn_ops
 
-    def one(qc):
-        d = (jnp.sum(qc * qc, axis=-1)[:, None]
-             - 2.0 * qc @ targets.T + t_sq[None, :])
-        d = jnp.where(t_mask[None, :] > 0, d, inf)
-        neg, idx = jax.lax.top_k(-d, k)
-        return idx, -neg
-
-    idx, d2 = jax.lax.map(one, chunks)
-    return (idx.reshape(-1, k)[:Q], d2.reshape(-1, k)[:Q])
+    return knn_ops.knn(queries, targets, t_mask, k)
 
 
 def _transform(pose: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,176 @@
+"""Image feature detection + tracking: Shi-Tomasi corners and pyramidal
+Lucas-Kanade — the image-processing half of the ROVIO capability (multilevel
+patch features, rovio.cfg patch/pyramid parameters) as pure XLA ops:
+
+- gradients and structure tensors are convolutions (MXU/VPU work),
+- non-max suppression is a max-pool (reduce_window),
+- KLT is a fixed-iteration per-feature 2×2 Gauss-Newton on bilinear-sampled
+  patches, vmapped over features and run coarse-to-fine over the pyramid.
+
+Everything static-shape: n_features slots, fixed pyramid depth, fixed
+iterations — one fused kernel per frame under jit.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _conv2(img: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """'same' 2-D convolution of a single-channel image."""
+    return jax.lax.conv_general_dilated(
+        img[None, None, :, :], k[None, None, :, :],
+        window_strides=(1, 1), padding="SAME",
+    )[0, 0]
+
+
+def sobel(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    kx = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], img.dtype) / 8.0
+    return _conv2(img, kx), _conv2(img, kx.T)
+
+
+def shi_tomasi(img: jnp.ndarray, window: int = 5) -> jnp.ndarray:
+    """Min-eigenvalue corner score per pixel."""
+    gx, gy = sobel(img)
+    box = jnp.ones((window, window), img.dtype) / (window * window)
+    gxx = _conv2(gx * gx, box)
+    gyy = _conv2(gy * gy, box)
+    gxy = _conv2(gx * gy, box)
+    tr = 0.5 * (gxx + gyy)
+    det = jnp.sqrt(jnp.maximum((0.5 * (gxx - gyy)) ** 2 + gxy ** 2, 0.0))
+    return tr - det
+
+
+def detect(
+    img: jnp.ndarray,
+    n_features: int,
+    nms_radius: int = 8,
+    border: int = 12,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-N Shi-Tomasi corners with non-max suppression.
+
+    Returns (uv (N, 2) float, score (N,)); low-score slots are padding."""
+    H, W = img.shape
+    score = shi_tomasi(img)
+    # NMS: keep pixels equal to their neighborhood max.
+    k = 2 * nms_radius + 1
+    mx = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (k, k), (1, 1), "SAME")
+    is_peak = (score >= mx)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    inside = ((yy >= border) & (yy < H - border)
+              & (xx >= border) & (xx < W - border))
+    masked = jnp.where(is_peak & inside, score, -jnp.inf)
+    vals, idx = jax.lax.top_k(masked.reshape(-1), n_features)
+    u = (idx % W).astype(img.dtype)
+    v = (idx // W).astype(img.dtype)
+    return jnp.stack([u, v], axis=-1), vals
+
+
+def bilinear(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample at (…, 2) pixel coords (u = x/col, v = y/row)."""
+    H, W = img.shape
+    u = jnp.clip(uv[..., 0], 0.0, W - 1.001)
+    v = jnp.clip(uv[..., 1], 0.0, H - 1.001)
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    du = u - u0
+    dv = v - v0
+    i00 = img[v0, u0]
+    i01 = img[v0, u0 + 1]
+    i10 = img[v0 + 1, u0]
+    i11 = img[v0 + 1, u0 + 1]
+    return ((1 - dv) * ((1 - du) * i00 + du * i01)
+            + dv * ((1 - du) * i10 + du * i11))
+
+
+def pyramid(img: jnp.ndarray, levels: int) -> list[jnp.ndarray]:
+    """levels×2 downsampled pyramid (2×2 average pooling)."""
+    out = [img]
+    for _ in range(levels - 1):
+        x = out[-1]
+        H2, W2 = (x.shape[0] // 2) * 2, (x.shape[1] // 2) * 2
+        x = x[:H2, :W2]
+        out.append(0.25 * (x[0::2, 0::2] + x[0::2, 1::2]
+                           + x[1::2, 0::2] + x[1::2, 1::2]))
+    return out
+
+
+def _patch_grid(radius: int, dtype):
+    r = jnp.arange(-radius, radius + 1, dtype=dtype)
+    du, dv = jnp.meshgrid(r, r, indexing="xy")
+    return jnp.stack([du.reshape(-1), dv.reshape(-1)], axis=-1)  # (P, 2)
+
+
+def klt_track(
+    prev_pyr: list[jnp.ndarray],
+    next_pyr: list[jnp.ndarray],
+    uv_prev: jnp.ndarray,       # (N, 2)
+    valid: jnp.ndarray,         # (N,)
+    radius: int = 4,
+    iters: int = 8,
+    max_error: float = 12.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pyramidal KLT: track features from prev to next frame.
+
+    Returns (uv_next (N, 2), valid (N,)); tracks failing convergence, image
+    bounds, or the final photometric-error check are invalidated."""
+    dtype = uv_prev.dtype
+    grid = _patch_grid(radius, dtype)          # (P, 2)
+    levels = len(prev_pyr)
+
+    def track_level(uv_p, uv_n, prev_img, next_img):
+        """One feature, one level. uv in this level's pixel scale."""
+        pts_p = uv_p[None, :] + grid
+        tpl = bilinear(prev_img, pts_p)        # (P,)
+        eps = jnp.asarray(0.5, dtype)
+        gx = (bilinear(prev_img, pts_p + jnp.array([1, 0], dtype) * eps)
+              - bilinear(prev_img, pts_p - jnp.array([1, 0], dtype) * eps)) / (2 * eps)
+        gy = (bilinear(prev_img, pts_p + jnp.array([0, 1], dtype) * eps)
+              - bilinear(prev_img, pts_p - jnp.array([0, 1], dtype) * eps)) / (2 * eps)
+        Gxx = jnp.sum(gx * gx)
+        Gxy = jnp.sum(gx * gy)
+        Gyy = jnp.sum(gy * gy)
+        det = Gxx * Gyy - Gxy * Gxy
+        ok_G = det > 1e-6
+
+        def it(_, uv):
+            cur = bilinear(next_img, uv[None, :] + grid)
+            e = cur - tpl
+            bx = jnp.sum(e * gx)
+            by = jnp.sum(e * gy)
+            dn = jnp.where(ok_G, det, 1.0)
+            du = -(Gyy * bx - Gxy * by) / dn
+            dv = -(-Gxy * bx + Gxx * by) / dn
+            step = jnp.where(ok_G, jnp.stack([du, dv]), jnp.zeros(2, dtype))
+            return uv + step
+
+        uv_out = jax.lax.fori_loop(0, iters, it, uv_n)
+        return uv_out, ok_G
+
+    def track_one(uv0, v0):
+        scale = 2.0 ** (levels - 1)
+        uv = uv0 / scale
+        ok = v0 > 0
+        for lvl in range(levels - 1, -1, -1):
+            s = 2.0 ** lvl
+            uv_p = uv0 / s
+            uv, ok_G = track_level(uv_p, uv, prev_pyr[lvl], next_pyr[lvl])
+            ok = ok & ok_G
+            if lvl > 0:
+                uv = uv * 2.0
+        # Final validity: in bounds + photometric error.
+        H, W = next_pyr[0].shape
+        inb = ((uv[0] > radius + 1) & (uv[0] < W - radius - 2)
+               & (uv[1] > radius + 1) & (uv[1] < H - radius - 2))
+        tpl = bilinear(prev_pyr[0], uv0[None, :] + grid)
+        cur = bilinear(next_pyr[0], uv[None, :] + grid)
+        err = jnp.mean(jnp.abs(cur - tpl))
+        ok = ok & inb & (err < max_error)
+        return uv, ok.astype(dtype)
+
+    return jax.vmap(track_one)(uv_prev, valid)

@@ -48,6 +48,13 @@ class SmootherConfig(NamedTuple):
     between_slots: int = 16          # pool size for active between-factors
     gn_iters: int = 8                # Gauss-Newton iterations per solve
     damping: float = 1e-9            # Levenberg damping added to H's diagonal
+    # Per-factor information ceiling: any factor whose information matrix has
+    # a diagonal entry above this is scaled down to it. Claims of information
+    # beyond ~1e6 are numerically meaningless in f32 (the TPU compute dtype)
+    # and only destroy the conditioning of the normal equations; the
+    # reference's GTSAM runs in f64 where its hardcoded 1e-6-sigma priors
+    # (GraphManager.cpp:26-31) are representable.
+    info_cap: float = 1e6
     # Initial prior sigmas — reference hardcodes these in the GraphManager
     # ctor (GraphManager.cpp:26-31): rot 1e-6 rad, trans 5e-5 m, vel 1e-5,
     # bias 1e-7.
@@ -85,6 +92,25 @@ class SmootherState(NamedTuple):
 # Construction
 # ---------------------------------------------------------------------------
 
+def _cap_info(info: jnp.ndarray, cap: float) -> jnp.ndarray:
+    """Scale an information matrix down so its max diagonal ≤ cap (keeps the
+    factor's internal structure; only its overall confidence saturates)."""
+    d = jnp.max(jnp.diagonal(info, axis1=-2, axis2=-1), axis=-1)
+    s = jnp.minimum(1.0, cap / jnp.maximum(d, 1e-30))
+    return info * s[..., None, None]
+
+
+def _jacobi_solve(H: jnp.ndarray, b: jnp.ndarray, lam) -> jnp.ndarray:
+    """Solve H x = b with Jacobi (diagonal) preconditioning — the factor
+    information spans ~8 orders of magnitude, which plain f32 Cholesky/LU
+    cannot survive; symmetric diagonal scaling restores it."""
+    d = jnp.sqrt(jnp.clip(jnp.diagonal(H), 1e-12, None))
+    s = 1.0 / d
+    Hs = H * s[:, None] * s[None, :]
+    Hs = Hs + lam * jnp.eye(H.shape[0], dtype=H.dtype)
+    return s * jnp.linalg.solve(Hs, s * b)
+
+
 def _state_prior_info(cfg: SmootherConfig, dtype) -> jnp.ndarray:
     """15x15 information of the initial prior (tangent order rho,theta,v,b)."""
     sig = jnp.array(
@@ -92,7 +118,8 @@ def _state_prior_info(cfg: SmootherConfig, dtype) -> jnp.ndarray:
         + [cfg.prior_vel_sigma] * 3 + [cfg.prior_bias_sigma] * 6,
         dtype=dtype,
     )
-    return jnp.diag(1.0 / (sig * sig))
+    return jnp.diag(jnp.minimum(1.0 / (sig * sig),
+                                jnp.asarray(cfg.info_cap, dtype)))
 
 
 def _empty_pim(cfg: SmootherConfig, n: int, dtype) -> pre.PreintegratedImu:
@@ -183,6 +210,7 @@ def _linearize_imu_slots(cfg: SmootherConfig, s: SmootherState, x: F.KeyframeSta
     # Invalid slots have zero covariance — jitter makes the inverse finite,
     # and the validity mask zeroes the information afterwards.
     info = F.info_from_cov(cov15, jitter=1e-12)
+    info = _cap_info(info, cfg.info_cap)
     info = info * s.imu_valid[:, None, None]
     return r, A_i, A_j, info
 
@@ -293,14 +321,11 @@ def solve(cfg: SmootherConfig, s: SmootherState) -> SmootherState:
     """
     dtype = s.states.poses.dtype
     W = s.states.poses.shape[0]
-    D = W * STATE_DIM
     lam = jnp.asarray(cfg.damping, dtype)
-    eyeD = jnp.eye(D, dtype=dtype)
 
     def it(_, x):
         H, b = _assemble(cfg, s, x)
-        scale = jnp.maximum(jnp.mean(jnp.diagonal(H)), 1.0)
-        dx = -jnp.linalg.solve(H + lam * scale * eyeD, b)
+        dx = -_jacobi_solve(H, b, lam)
         return F.retract_window(x, dx.reshape(W, STATE_DIM))
 
     x = jax.lax.fori_loop(0, cfg.gn_iters, it, s.states)
@@ -375,9 +400,13 @@ def add_keyframe(
     Hrr = H_m[STATE_DIM:, STATE_DIM:]
     bm = b_m[:STATE_DIM]
     br = b_m[STATE_DIM:]
-    jitter = 1e-9 * jnp.maximum(jnp.mean(jnp.diagonal(Hmm)), 1.0)
-    Hmm_r = Hmm + jitter * jnp.eye(STATE_DIM, dtype=dtype)
-    K = jnp.linalg.solve(Hmm_r, jnp.concatenate([Hmr, bm[:, None]], axis=1))
+    # Jacobi-scaled Schur elimination (same conditioning issue as solve()).
+    dmm = jnp.sqrt(jnp.clip(jnp.diagonal(Hmm), 1e-12, None))
+    smm = 1.0 / dmm
+    Hmm_s = Hmm * smm[:, None] * smm[None, :] \
+        + 1e-7 * jnp.eye(STATE_DIM, dtype=dtype)
+    rhs = jnp.concatenate([Hmr, bm[:, None]], axis=1) * smm[:, None]
+    K = smm[:, None] * jnp.linalg.solve(Hmm_s, rhs)
     S = Hrr - Hmr.T @ K[:, :-1]
     gs = br - Hmr.T @ K[:, -1]
 
@@ -453,7 +482,7 @@ def add_between(
     k = s.btw_next % cfg.between_slots
     in_win = (i_window >= 0) & (i_window < j_window)
     v = valid.astype(dtype) * in_win.astype(dtype)
-    info = F.info_from_cov(cov, jitter=1e-12)
+    info = _cap_info(F.info_from_cov(cov, jitter=1e-12), cfg.info_cap)
     return s._replace(
         btw_i=s.btw_i.at[k].set(jnp.maximum(i_window, 0).astype(jnp.int32)),
         btw_j=s.btw_j.at[k].set(j_window.astype(jnp.int32)),

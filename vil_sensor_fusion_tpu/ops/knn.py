@@ -1,0 +1,227 @@
+"""K-nearest-neighbor search kernels for ICP correspondence.
+
+The LOAM fork does this with per-submap KD-trees on CPU; on TPU the right
+shape is brute force on the MXU: ‖q−t‖² = ‖q‖² − 2·q·tᵀ + ‖t‖² makes the
+distance computation a matmul, and K=5 selection is a handful of vectorized
+min-extractions — no tree, no pointer chasing, fully batched.
+
+Two implementations with identical semantics:
+
+- :func:`knn_xla` — pure XLA: scan over target chunks with a running
+  sorted-merge of per-chunk minima. Never materializes more than a
+  (QB, CB) distance tile, so memory stays flat regardless of map size.
+- :func:`knn_pallas` — the same algorithm as a single Pallas kernel: the
+  query block and the whole target set live in VMEM, the distance tile is
+  produced and consumed in registers/VMEM without an HBM round-trip, and the
+  K-selection is fused behind the matmul.
+
+Both return (idx (Q,K) int32, dist² (Q,K)) sorted ascending, with masked
+targets at +inf.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+K_DEFAULT = 5
+QUERY_BLOCK = 128
+TARGET_BLOCK = 512
+
+
+def _extract_k_minima(d: jnp.ndarray, col_offset, k: int):
+    """K smallest per row of (B, C) + their (global) column indices.
+    Argmin emulated with a masked index-min so it lowers everywhere
+    (Pallas included)."""
+    B, C = d.shape
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+    big_i = jnp.asarray(2**30, jnp.int32)
+    mins, idxs = [], []
+    for _ in range(k):
+        mn = jnp.min(d, axis=1)
+        is_min = d == mn[:, None]
+        am = jnp.min(jnp.where(is_min, cols, big_i), axis=1)
+        mins.append(mn)
+        idxs.append((am + col_offset).astype(jnp.int32))
+        d = jnp.where(cols == am[:, None], jnp.inf, d)
+    return jnp.stack(mins, axis=1), jnp.stack(idxs, axis=1)   # (B, k)
+
+
+def _merge_sorted(best_d, best_i, new_d, new_i, k: int):
+    """Merge two (B, k) ascending lists → best (B, k)."""
+    d = jnp.concatenate([best_d, new_d], axis=1)              # (B, 2k)
+    i = jnp.concatenate([best_i, new_i], axis=1)
+    B = d.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, 2 * k), 1)
+    big_i = jnp.asarray(2**30, jnp.int32)
+    out_d, out_i = [], []
+    for _ in range(k):
+        mn = jnp.min(d, axis=1)
+        is_min = d == mn[:, None]
+        am = jnp.min(jnp.where(is_min, cols, big_i), axis=1)
+        val_i = jnp.sum(jnp.where(cols == am[:, None], i, 0),
+                        axis=1).astype(jnp.int32)
+        out_d.append(mn)
+        out_i.append(val_i)
+        d = jnp.where(cols == am[:, None], jnp.inf, d)
+    return jnp.stack(out_d, axis=1), jnp.stack(out_i, axis=1)
+
+
+def _dist_tile(q, t_chunk, t_sq_chunk, t_mask_chunk):
+    d = (jnp.sum(q * q, axis=1)[:, None]
+         - 2.0 * jnp.dot(q, t_chunk.T, preferred_element_type=jnp.float32)
+         + t_sq_chunk[None, :])
+    return jnp.where(t_mask_chunk[None, :] > 0, d, jnp.inf)
+
+
+def knn_xla(
+    queries: jnp.ndarray,
+    targets: jnp.ndarray,
+    t_mask: jnp.ndarray,
+    k: int = K_DEFAULT,
+    target_block: int = TARGET_BLOCK,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    Q = queries.shape[0]
+    M = targets.shape[0]
+    padM = (-M) % target_block
+    t = jnp.pad(targets, ((0, padM), (0, 0)))
+    tm = jnp.pad(t_mask, (0, padM))
+    t_sq = jnp.sum(t * t, axis=-1)
+    n_chunks = t.shape[0] // target_block
+
+    tc = t.reshape(n_chunks, target_block, 3)
+    tsqc = t_sq.reshape(n_chunks, target_block)
+    tmc = tm.reshape(n_chunks, target_block)
+
+    def body(carry, x):
+        best_d, best_i = carry
+        t_chunk, tsq_chunk, tm_chunk, off = x
+        d = _dist_tile(queries, t_chunk, tsq_chunk, tm_chunk)
+        nd, ni = _extract_k_minima(d, off, k)
+        return _merge_sorted(best_d, best_i, nd, ni, k), None
+
+    init = (jnp.full((Q, k), jnp.inf, queries.dtype),
+            jnp.zeros((Q, k), jnp.int32))
+    offs = jnp.arange(n_chunks, dtype=jnp.int32) * target_block
+    (best_d, best_i), _ = jax.lax.scan(body, init, (tc, tsqc, tmc, offs))
+    return best_i, best_d
+
+
+def _knn_kernel(q_ref, t_ref, tsq_ref, tmask_ref, idx_ref, dist_ref,
+                *, k: int, target_block: int):
+    q = q_ref[:]                           # (QB, 3)
+    M = t_ref.shape[0]
+    n_chunks = M // target_block
+    QB = q.shape[0]
+
+    def body(c, carry):
+        best_d, best_i = carry
+        off = c * target_block
+        t_chunk = t_ref[pl.ds(off, target_block), :]
+        tsq = tsq_ref[pl.ds(off, target_block)]
+        tm = tmask_ref[pl.ds(off, target_block)]
+        d = _dist_tile(q, t_chunk, tsq, tm)
+        nd, ni = _extract_k_minima(d, off, k)
+        return _merge_sorted(best_d, best_i, nd, ni, k)
+
+    init = (jnp.full((QB, k), jnp.inf, jnp.float32),
+            jnp.zeros((QB, k), jnp.int32))
+    best_d, best_i = jax.lax.fori_loop(0, n_chunks, body, init)
+    idx_ref[:] = best_i
+    dist_ref[:] = best_d
+
+
+def knn_pallas(
+    queries: jnp.ndarray,
+    targets: jnp.ndarray,
+    t_mask: jnp.ndarray,
+    k: int = K_DEFAULT,
+    query_block: int = QUERY_BLOCK,
+    target_block: int = TARGET_BLOCK,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    Q = queries.shape[0]
+    M = targets.shape[0]
+    padQ = (-Q) % query_block
+    padM = (-M) % target_block
+    q = jnp.pad(queries.astype(jnp.float32), ((0, padQ), (0, 0)))
+    t = jnp.pad(targets.astype(jnp.float32), ((0, padM), (0, 0)))
+    tm = jnp.pad(t_mask.astype(jnp.float32), (0, padM))
+    t_sq = jnp.sum(t * t, axis=-1)
+    n_q_blocks = q.shape[0] // query_block
+
+    kernel = functools.partial(_knn_kernel, k=k, target_block=target_block)
+    idx, dist = pl.pallas_call(
+        kernel,
+        grid=(n_q_blocks,),
+        in_specs=[
+            pl.BlockSpec((query_block, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(t.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(t_sq.shape, lambda i: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tm.shape, lambda i: (0,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((query_block, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((query_block, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q.shape[0], k), jnp.int32),
+            jax.ShapeDtypeStruct((q.shape[0], k), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, t, t_sq, tm)
+    return idx[:Q], dist[:Q].astype(queries.dtype)
+
+
+def knn_topk(
+    queries: jnp.ndarray,
+    targets: jnp.ndarray,
+    t_mask: jnp.ndarray,
+    k: int = K_DEFAULT,
+    query_chunk: int = QUERY_BLOCK,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Simple variant: full distance rows + lax.top_k per query chunk.
+    Fastest on CPU (XLA's sort-based top_k beats the extraction loop there);
+    materializes (chunk, M) tiles, so memory grows with the map size."""
+    t_sq = jnp.sum(targets * targets, axis=-1)
+    inf = jnp.asarray(jnp.inf, queries.dtype)
+    Q = queries.shape[0]
+    pad = (-Q) % query_chunk
+    q = jnp.pad(queries, ((0, pad), (0, 0)))
+    chunks = q.reshape(-1, query_chunk, 3)
+
+    def one(qc):
+        d = (jnp.sum(qc * qc, axis=-1)[:, None]
+             - 2.0 * qc @ targets.T + t_sq[None, :])
+        d = jnp.where(t_mask[None, :] > 0, d, inf)
+        neg, idx = jax.lax.top_k(-d, k)
+        return idx.astype(jnp.int32), -neg
+
+    idx, d2 = jax.lax.map(one, chunks)
+    return (idx.reshape(-1, k)[:Q], d2.reshape(-1, k)[:Q])
+
+
+def knn(
+    queries: jnp.ndarray,
+    targets: jnp.ndarray,
+    t_mask: jnp.ndarray,
+    k: int = K_DEFAULT,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Dispatch: Pallas on TPU, sort-based top_k on CPU, chunked-scan XLA
+    elsewhere."""
+    platform = jax.devices()[0].platform
+    if platform == "tpu":
+        return knn_pallas(queries, targets, t_mask, k)
+    if platform == "cpu":
+        return knn_topk(queries, targets, t_mask, k)
+    return knn_xla(queries, targets, t_mask, k)
