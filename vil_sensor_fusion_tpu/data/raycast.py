@@ -73,6 +73,39 @@ def town_world(n_boxes: int = 24, seed: int = 0, extent: float = 60.0,
     return World(plane_n=n, plane_d=d, box_min=bmin, box_max=bmax)
 
 
+def tunnel_world(x0: float = 20.0, x1: float = 44.0, width: float = 8.0,
+                 height: float = 5.0, n_boxes: int = 24, seed: int = 0,
+                 extent: float = 60.0, dtype=jnp.float32) -> World:
+    """Town with a tunnel spanning x ∈ [x0, x1]: buildings outside, two long
+    walls (thin boxes) + ceiling slab inside. Driving through produces a
+    well-conditioned → degenerate → well-conditioned sequence — the bag
+    structure behind the thesis's labeled windows ('Tunnel 25-35 s',
+    make_prettier_graphs.py:46-120)."""
+    base = town_world(n_boxes=n_boxes, seed=seed, extent=extent, dtype=dtype)
+    # Drop buildings that intrude into the tunnel's x-range (keep static
+    # shapes by moving them far below ground instead of filtering).
+    import numpy as np
+    bmin = np.asarray(base.box_min).copy()
+    bmax = np.asarray(base.box_max).copy()
+    bad = (bmax[:, 0] > x0 - 4.0) & (bmin[:, 0] < x1 + 4.0)
+    bmin[bad, 2] = -100.0
+    bmax[bad, 2] = -99.0
+    t = 0.5  # wall thickness
+    walls = np.array([
+        # left wall  y = -width/2
+        [[x0, -width / 2 - t, 0.0], [x1, -width / 2, height]],
+        # right wall y = +width/2
+        [[x0, width / 2, 0.0], [x1, width / 2 + t, height]],
+        # ceiling slab
+        [[x0, -width / 2 - t, height], [x1, width / 2 + t, height + t]],
+    ], dtype=np.float64)
+    bmin = np.concatenate([bmin, walls[:, 0]], axis=0)
+    bmax = np.concatenate([bmax, walls[:, 1]], axis=0)
+    return World(plane_n=base.plane_n, plane_d=base.plane_d,
+                 box_min=jnp.asarray(bmin, dtype),
+                 box_max=jnp.asarray(bmax, dtype))
+
+
 def _ray_dirs(dtype) -> jnp.ndarray:
     """(R, A, 3) unit ray directions in the sensor frame (VLP-16 grid)."""
     elev = jnp.radians(VLP16_ELEVATIONS_DEG.astype(dtype))      # (R,)

@@ -38,6 +38,10 @@ class VilScenario(NamedTuple):
     # Ground truth at every odometry event time (sorted merge happens later)
     gt_vio_poses: np.ndarray
     gt_lidar_poses: np.ndarray
+    # Labeled degenerate time windows [(start_s, end_s), ...] — the
+    # DEGEN_TRANS dictionaries of make_prettier_graphs.py:46-120. Empty for
+    # well-conditioned scenarios.
+    degen_windows: tuple = ()
 
 
 def _corridor_traj(speed: float = 4.0):
@@ -79,14 +83,27 @@ def build(
 ) -> VilScenario:
     if vio_cfg is None:
         vio_cfg = V.VioConfig()
+    degen_windows = ()
     if kind == "corridor":
         world = rc.corridor_world(width=8.0, height=5.0, dtype=dtype)
         traj = _corridor_traj()
         lm_extent, lm_height = 30.0, (0.5, 4.5)
+        degen_windows = ((0.0, duration),)
     elif kind == "town":
         world = rc.town_world(n_boxes=28, seed=seed, dtype=dtype)
         traj = _town_traj()
         lm_extent, lm_height = 40.0, (0.5, 10.0)
+    elif kind == "tunnel":
+        # Town drive that passes through a tunnel in the middle third —
+        # the labeled-window bag structure ('Tunnel 25-35 s').
+        speed = 4.0
+        x0, x1 = speed * duration / 3.0, speed * duration * 2.0 / 3.0
+        world = rc.tunnel_world(x0=x0, x1=x1, width=8.0, height=5.0,
+                                n_boxes=28, seed=seed, dtype=dtype)
+        traj = _corridor_traj(speed=speed)
+        lm_extent, lm_height = 40.0, (0.5, 10.0)
+        # Inside-the-tube times (half a sweep of margin at each portal).
+        degen_windows = ((x0 / speed + 0.5, x1 / speed - 0.5),)
     else:
         raise ValueError(kind)
 
@@ -125,4 +142,5 @@ def build(
         vio_times=vio_times, vio_frames=frames,
         lidar_times=lidar_times, sweeps=sweeps, lidar_guess_idx=guess_idx,
         gt_vio_poses=poses_gt_vio, gt_lidar_poses=poses_gt_lidar,
+        degen_windows=degen_windows,
     )
