@@ -11,11 +11,14 @@
 //   record := header_len(u32) header(field*) data_len(u32) data
 //   field  := len(u32) name '=' value
 // Records: op=3 bag header, op=5 chunk (container of connection/message
-// records; compression none|bz2|lz4 — only 'none' supported here, which is
-// rosbag record's default), op=7 connection, op=2 message data, op=4 index,
-// op=6 chunk info.
+// records; compression none|bz2|lz4 — all three supported: bz2/lz4 chunks
+// are decompressed through libbz2/liblz4 loaded at runtime with dlopen, so
+// no dev headers are required at build time), op=7 connection, op=2 message
+// data, op=4 index, op=6 chunk info.
 //
 // Exposed as a C ABI for ctypes (vil_sensor_fusion_tpu/data/rosbag_io.py).
+
+#include <dlfcn.h>
 
 #include <cstdint>
 #include <cstdio>
@@ -132,8 +135,123 @@ uint64_t header_u64(const std::map<std::string, std::string>& h,
   return v;
 }
 
+// --- chunk decompression (bz2 / lz4, via dlopen) -----------------------------
+//
+// `rosbag compress` defaults to bz2; `rosbag record --lz4` emits roslz4
+// streams, which use the standard LZ4 *frame* format handled by liblz4's
+// LZ4F API. Symbols are resolved lazily from the runtime libraries so the
+// build has no link-time dependency on either.
+
+// int BZ2_bzBuffToBuffDecompress(char* dest, unsigned* destLen,
+//                                char* source, unsigned sourceLen,
+//                                int small, int verbosity);
+using Bz2DecompressFn = int (*)(char*, unsigned*, char*, unsigned, int, int);
+
+Bz2DecompressFn load_bz2() {
+  static Bz2DecompressFn fn = [] {
+    void* lib = dlopen("libbz2.so.1", RTLD_NOW | RTLD_GLOBAL);
+    if (!lib) lib = dlopen("libbz2.so", RTLD_NOW | RTLD_GLOBAL);
+    return lib ? reinterpret_cast<Bz2DecompressFn>(
+                     dlsym(lib, "BZ2_bzBuffToBuffDecompress"))
+               : nullptr;
+  }();
+  return fn;
+}
+
+struct Lz4FrameApi {
+  // size_t LZ4F_createDecompressionContext(LZ4F_dctx**, unsigned version);
+  size_t (*create_ctx)(void**, unsigned) = nullptr;
+  size_t (*free_ctx)(void*) = nullptr;
+  // size_t LZ4F_decompress(ctx, dst, size_t* dstSize, src, size_t* srcSize,
+  //                        const options*);
+  size_t (*decompress)(void*, void*, size_t*, const void*, size_t*,
+                       const void*) = nullptr;
+  unsigned (*is_error)(size_t) = nullptr;
+  bool ok() const { return create_ctx && free_ctx && decompress && is_error; }
+};
+
+const Lz4FrameApi& load_lz4() {
+  static Lz4FrameApi api = [] {
+    Lz4FrameApi a;
+    void* lib = dlopen("liblz4.so.1", RTLD_NOW | RTLD_GLOBAL);
+    if (!lib) lib = dlopen("liblz4.so", RTLD_NOW | RTLD_GLOBAL);
+    if (lib) {
+      a.create_ctx = reinterpret_cast<size_t (*)(void**, unsigned)>(
+          dlsym(lib, "LZ4F_createDecompressionContext"));
+      a.free_ctx =
+          reinterpret_cast<size_t (*)(void*)>(dlsym(lib, "LZ4F_freeDecompressionContext"));
+      a.decompress = reinterpret_cast<size_t (*)(void*, void*, size_t*,
+                                                 const void*, size_t*,
+                                                 const void*)>(
+          dlsym(lib, "LZ4F_decompress"));
+      a.is_error =
+          reinterpret_cast<unsigned (*)(size_t)>(dlsym(lib, "LZ4F_isError"));
+    }
+    return a;
+  }();
+  return api;
+}
+
+// Decompress a chunk payload. `raw_size` is the chunk header's `size` field
+// (the decompressed byte count). Returns false + error message on failure.
+bool decompress_chunk(const std::string& comp, const uint8_t* data,
+                      size_t dlen, size_t raw_size,
+                      std::vector<uint8_t>* out, std::string* error) {
+  out->resize(raw_size);
+  if (comp == "bz2") {
+    Bz2DecompressFn fn = load_bz2();
+    if (!fn) {
+      *error = "bz2 chunk but libbz2 is unavailable";
+      return false;
+    }
+    unsigned dest_len = static_cast<unsigned>(raw_size);
+    int rc = fn(reinterpret_cast<char*>(out->data()), &dest_len,
+                reinterpret_cast<char*>(const_cast<uint8_t*>(data)),
+                static_cast<unsigned>(dlen), 0, 0);
+    if (rc != 0) {
+      *error = "bz2 chunk decompression failed (rc " + std::to_string(rc) + ")";
+      return false;
+    }
+    out->resize(dest_len);
+    return true;
+  }
+  if (comp == "lz4") {
+    const Lz4FrameApi& api = load_lz4();
+    if (!api.ok()) {
+      *error = "lz4 chunk but liblz4's frame API is unavailable";
+      return false;
+    }
+    void* ctx = nullptr;
+    if (api.is_error(api.create_ctx(&ctx, 100))) {
+      *error = "lz4 context creation failed";
+      return false;
+    }
+    size_t dst_off = 0, src_off = 0;
+    while (src_off < dlen && dst_off < raw_size) {
+      size_t dst_sz = raw_size - dst_off;
+      size_t src_sz = dlen - src_off;
+      size_t rc = api.decompress(ctx, out->data() + dst_off, &dst_sz,
+                                 data + src_off, &src_sz, nullptr);
+      if (api.is_error(rc)) {
+        api.free_ctx(ctx);
+        *error = "lz4 chunk decompression failed";
+        return false;
+      }
+      dst_off += dst_sz;
+      src_off += src_sz;
+      if (rc == 0) break;  // frame complete
+      if (dst_sz == 0 && src_sz == 0) break;  // no progress
+    }
+    api.free_ctx(ctx);
+    out->resize(dst_off);
+    return true;
+  }
+  *error = "unsupported chunk compression: " + comp;
+  return false;
+}
+
 // Parse a run of records from [p, p+n): used both for the top level and for
-// chunk payloads (compression 'none').
+// chunk payloads.
 bool parse_records(Bag* bag, const uint8_t* p, size_t n, int depth) {
   size_t off = 0;
   while (off + 4 <= n) {
@@ -183,12 +301,27 @@ bool parse_records(Bag* bag, const uint8_t* p, size_t n, int depth) {
       case 0x05: {  // chunk
         std::string comp =
             hdr.count("compression") ? hdr["compression"] : "none";
+        if (depth > 2) return false;
         if (comp == "none") {
-          if (depth > 2) return false;
           if (!parse_records(bag, data, dlen, depth + 1)) return false;
         } else {
-          bag->error = "unsupported chunk compression: " + comp;
-          return false;
+          size_t raw_size = 0;
+          auto sz = hdr.find("size");
+          if (sz != hdr.end() && sz->second.size() == 4) {
+            uint32_t v;
+            std::memcpy(&v, sz->second.data(), 4);
+            raw_size = v;
+          }
+          if (raw_size == 0) {
+            bag->error = "compressed chunk missing size field";
+            return false;
+          }
+          std::vector<uint8_t> raw;
+          if (!decompress_chunk(comp, data, dlen, raw_size, &raw,
+                                &bag->error))
+            return false;
+          if (!parse_records(bag, raw.data(), raw.size(), depth + 1))
+            return false;
         }
         break;
       }

@@ -60,5 +60,14 @@ class TestKnnPallasInterpret:
         ip, dp = KNN.knn_pallas(jnp.asarray(q), jnp.asarray(t),
                                 jnp.asarray(mask), k=5, query_block=32,
                                 target_block=128, interpret=True)
-        np.testing.assert_allclose(np.asarray(dp), np.asarray(dx), rtol=1e-5)
-        np.testing.assert_array_equal(np.asarray(ip), np.asarray(ix))
+        # Same algorithm but different reduction grouping (the Pallas path
+        # runs the distance matmul on padded/transposed f32 tiles), so
+        # distances agree to f32 round-off, not bit-exactly.
+        np.testing.assert_allclose(np.asarray(dp), np.asarray(dx),
+                                   rtol=1e-4, atol=1e-4)
+        # Indices may swap on near-tie distances; every returned index must
+        # point at a target whose true distance matches.
+        q64 = q.astype(np.float64)
+        dtrue_p = ((q64[:, None, :] - t[np.asarray(ip)]) ** 2).sum(-1)
+        dtrue_x = ((q64[:, None, :] - t[np.asarray(ix)]) ** 2).sum(-1)
+        np.testing.assert_allclose(dtrue_p, dtrue_x, rtol=1e-4, atol=1e-4)

@@ -34,8 +34,12 @@ def _run_scenario(kind, duration=3.0, gate_cfg=None):
     cfg = vil.VilConfig(
         vio=vio_cfg,
         lidar=L.LidarOdomConfig(icp=L.IcpConfig(iters=6, degen_eigval=5.0)),
+        # Per-correspondence normalized gate: the raw log-det scale depends on
+        # the correspondence count, so the reference's 28.9 does not transfer;
+        # normalized, town scores ≈ -3.4 and corridor ≈ -7 → -5 separates.
         gate=gate_cfg or DG.GateConfig(rot_threshold=-1e9,
-                                       trans_threshold=14.0),
+                                       trans_threshold=-5.0,
+                                       normalize_per_corr=True),
         fusion=fu.FusionConfig(
             smoother=G.SmootherConfig(window=6, between_slots=12, gn_iters=4),
             sensors=vil.VilConfig().fusion.sensors,

@@ -40,7 +40,8 @@ def cmd_run(args):
     cfg = vil.VilConfig(
         vio=vio_cfg,
         lidar=L.LidarOdomConfig(icp=L.IcpConfig(iters=6, degen_eigval=5.0)),
-        gate=DG.GateConfig(rot_threshold=-1e9, trans_threshold=14.0),
+        gate=DG.GateConfig(rot_threshold=-1e9, trans_threshold=-5.0,
+                           normalize_per_corr=True),
         fusion=fu.FusionConfig(
             smoother=G.SmootherConfig(window=6, between_slots=12, gn_iters=4),
             sensors=vil.VilConfig().fusion.sensors, max_imu_per_gap=32),

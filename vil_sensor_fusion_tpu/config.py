@@ -79,6 +79,7 @@ def gate_config_from_dict(d: dict) -> GateConfig:
     return GateConfig(
         rot_threshold=float(d.get("rot_degen_threshold", 11.5)),
         trans_threshold=float(d.get("trans_degen_threshold", 28.9)),
+        normalize_per_corr=bool(d.get("normalize_per_corr", False)),
     )
 
 

@@ -106,6 +106,126 @@ def tunnel_world(x0: float = 20.0, x1: float = 44.0, width: float = 8.0,
                  box_max=jnp.asarray(bmax, dtype))
 
 
+def cast(
+    world: World,
+    origin: jnp.ndarray,        # (3,) world-frame ray origin
+    dirs: jnp.ndarray,          # (..., 3) world-frame unit directions
+    min_range: float = 0.5,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Core raycast: nearest hit distance t (inf = miss) and the surface
+    normal at the hit (oriented against the ray). Shared by the LiDAR sweep
+    raycaster and the camera renderer."""
+    dtype = dirs.dtype
+    o = origin
+    inf = jnp.asarray(jnp.inf, dtype)
+    batch = dirs.shape[:-1]
+
+    # Planes: t = -(n·o + d) / (n·dir)
+    if world.plane_n.shape[0]:
+        num = -(world.plane_n @ o + world.plane_d)               # (P,)
+        den = jnp.einsum("pk,...k->...p", world.plane_n, dirs)   # (..., P)
+        t_pl = num / jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
+        t_pl = jnp.where((t_pl > min_range) & (den != 0), t_pl, inf)
+        i_pl = jnp.argmin(t_pl, axis=-1)                         # (...,)
+        t_plane = jnp.take_along_axis(t_pl, i_pl[..., None], -1)[..., 0]
+        n_plane = world.plane_n[i_pl]                            # (..., 3)
+        # Orient against the ray.
+        s = -jnp.sign(jnp.einsum("...k,...k->...", n_plane, dirs))
+        n_plane = n_plane * s[..., None]
+    else:
+        t_plane = jnp.full(batch, jnp.inf, dtype)
+        n_plane = jnp.zeros(batch + (3,), dtype)
+
+    # Boxes: slab method; the entered face's axis is the arg-max slab.
+    if world.box_min.shape[0]:
+        safe = jnp.where(jnp.abs(dirs) < 1e-9, 1e-9, dirs)
+        t1 = (world.box_min - o) / safe[..., None, :]            # (..., B, 3)
+        t2 = (world.box_max - o) / safe[..., None, :]
+        tlo = jnp.minimum(t1, t2)
+        thi = jnp.maximum(t1, t2)
+        tmin = jnp.max(tlo, axis=-1)                             # (..., B)
+        tmax = jnp.min(thi, axis=-1)
+        hit = (tmax >= tmin) & (tmin > min_range)
+        t_bx = jnp.where(hit, tmin, inf)
+        i_bx = jnp.argmin(t_bx, axis=-1)                         # (...,)
+        t_box = jnp.take_along_axis(t_bx, i_bx[..., None], -1)[..., 0]
+        # Face axis of the winning box = argmax slab entry.
+        tlo_w = jnp.take_along_axis(
+            tlo, i_bx[..., None, None], -2)[..., 0, :]           # (..., 3)
+        axis = jnp.argmax(tlo_w, axis=-1)                        # (...,)
+        n_box = jax.nn.one_hot(axis, 3, dtype=dtype)
+        n_box = n_box * -jnp.sign(
+            jnp.take_along_axis(dirs, axis[..., None], -1))
+    else:
+        t_box = jnp.full(batch, jnp.inf, dtype)
+        n_box = jnp.zeros(batch + (3,), dtype)
+
+    use_box = t_box < t_plane
+    t = jnp.where(use_box, t_box, t_plane)
+    n = jnp.where(use_box[..., None], n_box, n_plane)
+    return t, n
+
+
+def _procedural_intensity(p_world: jnp.ndarray, normal: jnp.ndarray,
+                          dtype) -> jnp.ndarray:
+    """World-anchored multi-scale texture + diffuse shading: gives every
+    surface dense, geometrically consistent image gradients so corner
+    detection and KLT have something to lock onto — the role Carla's textured
+    meshes play for ROVIO in the reference rig (sensors.json front camera)."""
+    x, y, z = p_world[..., 0], p_world[..., 1], p_world[..., 2]
+    tex = (jnp.sin(2.1 * x + 0.7) * jnp.sin(1.7 * y + 1.3)
+           + 0.6 * jnp.sin(5.3 * x + 2.9 * z + 0.5)
+           * jnp.sin(4.1 * y - 1.9 * z)
+           + 0.35 * jnp.sin(11.7 * y + 7.1 * z + 2.0)
+           * jnp.sin(9.3 * x - 6.7 * z))
+    sun = jnp.asarray([0.40824829, 0.40824829, -0.81649658], dtype)
+    light = jnp.clip(-jnp.einsum("...k,k->...", normal, sun), 0.0, 1.0)
+    return jnp.clip(0.45 + 0.25 * light + 0.13 * tex, 0.0, 1.0)
+
+
+def render_camera(
+    world: World,
+    pose_wc: jnp.ndarray,       # (7,) world_T_camera (x right, y down, z fwd)
+    cam,                        # frontends.vio.camera.Camera
+    max_range: float = 200.0,
+    sky_level: float = 0.85,
+) -> jnp.ndarray:
+    """Render a grayscale image (H, W) in [0, 255] from a camera pose.
+
+    The synthetic substitute for the reference's Carla RGB camera
+    (800×600, fov 100° — carla_tools/config/sensors.json): raycast every
+    pixel against the world, shade with a world-anchored procedural texture.
+    Feature tracks extracted from consecutive renders are geometrically exact
+    — the image-driven VIO test substrate."""
+    dtype = pose_wc.dtype
+    H, W = cam.height, cam.width
+    u = (jnp.arange(W, dtype=dtype) + 0.5 - cam.cx) / cam.fx
+    v = (jnp.arange(H, dtype=dtype) + 0.5 - cam.cy) / cam.fy
+    dirs_c = jnp.stack([
+        jnp.broadcast_to(u[None, :], (H, W)),
+        jnp.broadcast_to(v[:, None], (H, W)),
+        jnp.ones((H, W), dtype),
+    ], axis=-1)
+    dirs_c = dirs_c / jnp.linalg.norm(dirs_c, axis=-1, keepdims=True)
+    q = lie.pose_quat(pose_wc)
+    o = lie.pose_trans(pose_wc)
+    dirs_w = lie.quat_rotate(q[None, None, :], dirs_c)
+
+    t, n = cast(world, o, dirs_w, min_range=0.05)
+    hit = t < max_range
+    t_safe = jnp.where(hit, t, 0.0)
+    p_hit = o + t_safe[..., None] * dirs_w
+    shade = _procedural_intensity(p_hit, n, dtype)
+    img = jnp.where(hit, shade, jnp.asarray(sky_level, dtype))
+    return img * 255.0
+
+
+def render_camera_series(world: World, poses_wc: jnp.ndarray, cam,
+                         **kw) -> jnp.ndarray:
+    """(T, 7) camera poses → (T, H, W) rendered frames."""
+    return jax.vmap(lambda p: render_camera(world, p, cam, **kw))(poses_wc)
+
+
 def _ray_dirs(dtype) -> jnp.ndarray:
     """(R, A, 3) unit ray directions in the sensor frame (VLP-16 grid)."""
     elev = jnp.radians(VLP16_ELEVATIONS_DEG.astype(dtype))      # (R,)
@@ -124,29 +244,8 @@ def raycast(world: World, pose: jnp.ndarray, max_range: float = 120.0,
     q = lie.pose_quat(pose)
     o = lie.pose_trans(pose)
     dirs = lie.quat_rotate(q[None, None, :], dirs_s)             # world frame
-    inf = jnp.asarray(jnp.inf, dtype)
 
-    # Planes: t = -(n·o + d) / (n·dir)
-    num = -(world.plane_n @ o + world.plane_d)                   # (P,)
-    den = jnp.einsum("pk,rak->rap", world.plane_n, dirs)         # (R, A, P)
-    t_pl = num[None, None, :] / jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
-    t_pl = jnp.where((t_pl > min_range) & (den != 0), t_pl, inf)
-    t_plane = jnp.min(t_pl, axis=-1) if world.plane_n.shape[0] else inf
-
-    # Boxes: slab method.
-    if world.box_min.shape[0]:
-        safe_dirs = jnp.where(jnp.abs(dirs) < 1e-9, 1e-9, dirs)
-        t1 = (world.box_min[None, None, :, :] - o) / safe_dirs[:, :, None, :]
-        t2 = (world.box_max[None, None, :, :] - o) / safe_dirs[:, :, None, :]
-        tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)             # (R, A, B)
-        tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
-        hit = (tmax >= tmin) & (tmin > min_range)
-        t_bx = jnp.where(hit, tmin, inf)
-        t_box = jnp.min(t_bx, axis=-1)
-    else:
-        t_box = jnp.full(t_plane.shape, inf, dtype)
-
-    t = jnp.minimum(t_plane, t_box)
+    t, _ = cast(world, o, dirs, min_range=min_range)
     valid = (t < max_range).astype(dtype)
     t_safe = jnp.where(valid > 0, t, 0.0)
     pts_w = o + t_safe[..., None] * dirs

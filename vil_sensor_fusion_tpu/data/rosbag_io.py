@@ -76,7 +76,7 @@ def _load():
 
 
 class BagReader:
-    """Read one rosbag v2.0 file (uncompressed chunks)."""
+    """Read one rosbag v2.0 file (plain, bz2- or lz4-compressed chunks)."""
 
     def __init__(self, path: str | os.PathLike):
         lib = _load()

@@ -102,8 +102,12 @@ def build(
                                 n_boxes=28, seed=seed, dtype=dtype)
         traj = _corridor_traj(speed=speed)
         lm_extent, lm_height = 40.0, (0.5, 10.0)
-        # Inside-the-tube times (half a sweep of margin at each portal).
-        degen_windows = ((x0 / speed + 0.5, x1 / speed - 0.5),)
+        # Inside-the-tube times, with half a sweep of margin at each portal —
+        # clamped to the transit time so short drives cannot produce an
+        # inverted (start > end) window that would mislabel the ROC ground
+        # truth.
+        margin = min(0.5, (x1 - x0) / speed / 2.0)
+        degen_windows = ((x0 / speed + margin, x1 / speed - margin),)
     else:
         raise ValueError(kind)
 

@@ -2,7 +2,14 @@
 
 from . import gate
 from . import metrics
-from .gate import DegeneracyScores, GateConfig, GateResult, logdet_gate, score_series
+from .gate import (
+    DegeneracyScores,
+    GateConfig,
+    GateResult,
+    calibrate_threshold,
+    logdet_gate,
+    score_series,
+)
 from .metrics import METRICS
 
 __all__ = [
@@ -11,6 +18,7 @@ __all__ = [
     "DegeneracyScores",
     "GateConfig",
     "GateResult",
+    "calibrate_threshold",
     "logdet_gate",
     "score_series",
     "METRICS",

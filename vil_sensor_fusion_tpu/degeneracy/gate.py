@@ -24,10 +24,20 @@ from . import metrics as M
 
 
 class GateConfig(NamedTuple):
-    """Thresholds of fusion_params.yaml:35-36."""
+    """Thresholds of fusion_params.yaml:35-36.
+
+    ``normalize_per_corr``: the reference's raw log-det thresholds only
+    transfer between ICP implementations if the Hessian scale matches — and
+    log det(H) grows with the correspondence count (H = Σ w JᵀJ over points).
+    With normalization on, the gate scores log det(H_block / n_corr) — the
+    *average information per correspondence* — which is invariant to sweep
+    density and transfers across scenes. Raw mode (default) keeps exact
+    reference semantics (degerate_odometry_filter.cpp:32-45) for parity runs.
+    """
 
     rot_threshold: float = 11.5
     trans_threshold: float = 28.9
+    normalize_per_corr: bool = False
 
 
 class GateResult(NamedTuple):
@@ -36,17 +46,66 @@ class GateResult(NamedTuple):
     keep: jnp.ndarray          # 1.0 = pass, 0.0 = drop (batched)
 
 
-def logdet_gate(hessian: jnp.ndarray, cfg: GateConfig = GateConfig()) -> GateResult:
+def logdet_gate(
+    hessian: jnp.ndarray,
+    cfg: GateConfig = GateConfig(),
+    n_corr: jnp.ndarray | None = None,
+) -> GateResult:
     """The final thesis gate over batched 6x6 Hessians (rho/theta order:
     translation block [0:3,0:3], rotation block [3:6,3:6] — identical layout
-    to LOAM's OptStatus hessian as consumed at degerate_odometry_filter.cpp:32-36)."""
+    to LOAM's OptStatus hessian as consumed at degerate_odometry_filter.cpp:32-36).
+
+    ``n_corr``: per-measurement valid-correspondence counts (IcpResult.n_corr),
+    required when ``cfg.normalize_per_corr`` — log det(H/n) = log det(H)
+    − 3·log(n) for the 3×3 blocks."""
     trans = hessian[..., 0:3, 0:3]
     rot = hessian[..., 3:6, 3:6]
     _, ld_rot = jnp.linalg.slogdet(rot)
     _, ld_trans = jnp.linalg.slogdet(trans)
+    if cfg.normalize_per_corr:
+        if n_corr is None:
+            raise ValueError("normalize_per_corr requires n_corr")
+        shift = 3.0 * jnp.log(jnp.maximum(n_corr, 1.0))
+        ld_rot = ld_rot - shift
+        ld_trans = ld_trans - shift
     keep = ((ld_rot >= cfg.rot_threshold) & (ld_trans >= cfg.trans_threshold))
     return GateResult(rot_d_opt=ld_rot, trans_d_opt=ld_trans,
                       keep=keep.astype(hessian.dtype))
+
+
+def calibrate_threshold(
+    scores: jnp.ndarray,
+    degenerate: jnp.ndarray,
+) -> jnp.ndarray:
+    """Pick the gate threshold from labeled windows: the score value
+    maximizing Youden's J (TPR − FPR) when dropping everything *below* it —
+    the ROC-knee calibration the reference does by hand from its labeled
+    degenerate windows (make_prettier_graphs.py:46-120 + the hand-tuned
+    11.5/28.9 of fusion_params.yaml).
+
+    Args:
+      scores: (T,) gate scores (lower = more degenerate).
+      degenerate: (T,) bool/0-1 labels (1 = inside a labeled degenerate window).
+
+    Returns the scalar threshold (drop iff score < threshold).
+    """
+    scores = jnp.asarray(scores)
+    lab = jnp.asarray(degenerate).astype(bool)
+    finite = jnp.isfinite(scores)
+    n_pos = jnp.maximum(jnp.sum(lab & finite), 1)          # degenerate
+    n_neg = jnp.maximum(jnp.sum(~lab & finite), 1)         # healthy
+    order = jnp.argsort(scores)
+    s_sorted = scores[order]
+    l_sorted = lab[order] & finite[order]
+    h_sorted = (~lab[order]) & finite[order]
+    # Dropping everything <= s_sorted[i]:
+    tp = jnp.cumsum(l_sorted)                # degenerate correctly dropped
+    fp = jnp.cumsum(h_sorted)                # healthy wrongly dropped
+    J = tp / n_pos - fp / n_neg
+    best = jnp.argmax(J)
+    # Threshold just above the best cut point (midpoint to the next score).
+    s_next = jnp.concatenate([s_sorted[1:], s_sorted[-1:] + 1.0])
+    return 0.5 * (s_sorted[best] + s_next[best])
 
 
 class DegeneracyScores(NamedTuple):

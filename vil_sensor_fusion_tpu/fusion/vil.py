@@ -91,7 +91,8 @@ def run_vil(
     )(lidar_state, sweeps, lidar_pose_guesses)
 
     # --- Stage 3: degeneracy gate on the ICP Hessian -----------------------
-    gate_res = DG.logdet_gate(lidar_out.hessian, cfg.gate)
+    gate_res = DG.logdet_gate(lidar_out.hessian, cfg.gate,
+                              n_corr=lidar_out.n_corr)
 
     # --- Stage 4: fusion ----------------------------------------------------
     dtype = engine_state.smoother.states.poses.dtype

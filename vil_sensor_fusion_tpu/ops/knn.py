@@ -113,19 +113,32 @@ def knn_xla(
 
 def _knn_kernel(q_ref, t_ref, tsq_ref, tmask_ref, idx_ref, dist_ref,
                 *, k: int, target_block: int):
-    q = q_ref[:]                           # (QB, 3)
-    M = t_ref.shape[0]
-    n_chunks = M // target_block
+    """Per-query-block kernel. TPU-native data layout:
+
+    - ``q_ref``    (QB, 8): queries with the coordinate dim zero-padded 3→8
+      so it maps onto a full sublane tile.
+    - ``t_ref``    (n_chunks, 8, TB): targets **transposed and chunked** —
+      each chunk is an (8 sublane, TB lane) tile addressed by a plain loop
+      index (no dynamic minor-dim slicing, which Mosaic cannot prove
+      aligned), and the distance matmul is (QB, 8) @ (8, TB) on the MXU.
+    - ``tsq_ref``/``tmask_ref`` (n_chunks, TB): per-chunk rows.
+    """
+    q = q_ref[:]                           # (QB, 8)
+    n_chunks = t_ref.shape[0]
     QB = q.shape[0]
+    q_sq = jnp.sum(q * q, axis=1)[:, None]
 
     def body(c, carry):
         best_d, best_i = carry
-        off = c * target_block
-        t_chunk = t_ref[pl.ds(off, target_block), :]
-        tsq = tsq_ref[pl.ds(off, target_block)]
-        tm = tmask_ref[pl.ds(off, target_block)]
-        d = _dist_tile(q, t_chunk, tsq, tm)
-        nd, ni = _extract_k_minima(d, off, k)
+        t_chunk = t_ref[c]                 # (8, TB)
+        tsq = tsq_ref[c]                   # (TB,)
+        tm = tmask_ref[c]
+        d = (q_sq
+             - 2.0 * jnp.dot(q, t_chunk,
+                             preferred_element_type=jnp.float32)
+             + tsq[None, :])
+        d = jnp.where(tm[None, :] > 0, d, jnp.inf)
+        nd, ni = _extract_k_minima(d, c * target_block, k)
         return _merge_sorted(best_d, best_i, nd, ni, k)
 
     init = (jnp.full((QB, k), jnp.inf, jnp.float32),
@@ -148,24 +161,30 @@ def knn_pallas(
     M = targets.shape[0]
     padQ = (-Q) % query_block
     padM = (-M) % target_block
-    q = jnp.pad(queries.astype(jnp.float32), ((0, padQ), (0, 0)))
-    t = jnp.pad(targets.astype(jnp.float32), ((0, padM), (0, 0)))
+    q = jnp.pad(queries.astype(jnp.float32), ((0, padQ), (0, 5)))
+    t = jnp.pad(targets.astype(jnp.float32), ((0, padM), (0, 5)))
     tm = jnp.pad(t_mask.astype(jnp.float32), (0, padM))
     t_sq = jnp.sum(t * t, axis=-1)
     n_q_blocks = q.shape[0] // query_block
+    n_chunks = t.shape[0] // target_block
+
+    # (n_chunks, 8, TB) transposed chunk tiles; (n_chunks, TB) rows.
+    t_cnk = t.reshape(n_chunks, target_block, 8).transpose(0, 2, 1)
+    tsq_cnk = t_sq.reshape(n_chunks, target_block)
+    tm_cnk = tm.reshape(n_chunks, target_block)
 
     kernel = functools.partial(_knn_kernel, k=k, target_block=target_block)
     idx, dist = pl.pallas_call(
         kernel,
         grid=(n_q_blocks,),
         in_specs=[
-            pl.BlockSpec((query_block, 3), lambda i: (i, 0),
+            pl.BlockSpec((query_block, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(t.shape, lambda i: (0, 0),
+            pl.BlockSpec(t_cnk.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(t_sq.shape, lambda i: (0,),
+            pl.BlockSpec(tsq_cnk.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(tm.shape, lambda i: (0,),
+            pl.BlockSpec(tm_cnk.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -179,7 +198,7 @@ def knn_pallas(
             jax.ShapeDtypeStruct((q.shape[0], k), jnp.float32),
         ],
         interpret=interpret,
-    )(q, t, t_sq, tm)
+    )(q, t_cnk, tsq_cnk, tm_cnk)
     return idx[:Q], dist[:Q].astype(queries.dtype)
 
 

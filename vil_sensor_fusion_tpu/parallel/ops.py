@@ -22,7 +22,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..fusion import engine as E
 from .mesh import DATA_AXIS, MODEL_AXIS
@@ -47,7 +47,7 @@ def batched_fusion_run(mesh, cfg: E.FusionConfig):
         per_shard, mesh=mesh,
         in_specs=(spec, spec, spec, spec, spec),
         out_specs=(spec, spec),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -68,7 +68,7 @@ def sharded_normal_eqs(mesh):
         per_shard, mesh=mesh,
         in_specs=(P(MODEL_AXIS), P(MODEL_AXIS), P(MODEL_AXIS)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -85,6 +85,6 @@ def sharded_metric_series(mesh, names):
         per_shard, mesh=mesh,
         in_specs=(P(DATA_AXIS),),
         out_specs=P(DATA_AXIS),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)

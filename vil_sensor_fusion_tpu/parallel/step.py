@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..core import lie
 from ..fusion import engine as E
@@ -56,12 +56,12 @@ def make_vil_step(mesh, cfg: E.FusionConfig):
         fusion_shard, mesh=mesh,
         in_specs=(d, d, d, d, d, d),
         out_specs=(d, d, P()),
-        check_rep=False,
+        check_vma=False,
     )
     icp_sharded = shard_map(
         icp_shard, mesh=mesh,
         in_specs=(m, m, m), out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit

@@ -74,6 +74,10 @@ def restore(path: str, template: Any) -> Any:
             raise ValueError(
                 f"checkpoint leaf {key!r} shape {arr.shape} != template "
                 f"{tleaf.shape}")
+        if arr.dtype.kind != tleaf.dtype.kind:
+            raise ValueError(
+                f"checkpoint leaf {key!r} dtype {arr.dtype} is a different "
+                f"kind than template {tleaf.dtype} — refusing the lossy cast")
         new_leaves.append(arr.astype(tleaf.dtype))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 

@@ -40,19 +40,35 @@ def device_trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+class StageOutput:
+    """Mutable holder yielded by :meth:`StageTimer.stage`: the stage body
+    assigns the value(s) it launches to ``.value`` and the timer blocks on
+    them when the stage exits, so async device work dispatched *inside* the
+    block is attributed to the stage that launched it."""
+
+    __slots__ = ("value",)
+
+    def __init__(self):
+        self.value: Any = None
+
+
 class StageTimer:
-    """Accumulates per-stage wall times; each ``stage`` context blocks on the
-    given output so device work is attributed to the stage that launched it."""
+    """Accumulates per-stage wall times. ``stage`` yields a
+    :class:`StageOutput`; set ``.value`` to the stage's device output and the
+    timer blocks on it at exit (plus any pre-existing ``block_on`` value)."""
 
     def __init__(self):
         self._records: Dict[str, List[float]] = {}
 
     @contextlib.contextmanager
     def stage(self, name: str, block_on: Any = None):
+        holder = StageOutput()
         t0 = time.perf_counter()
         try:
-            yield
+            yield holder
         finally:
+            if holder.value is not None:
+                jax.block_until_ready(holder.value)
             if block_on is not None:
                 jax.block_until_ready(block_on)
             self._records.setdefault(name, []).append(
