@@ -113,3 +113,26 @@ def test_stage_timer():
     assert s["matmul"]["calls"] == 1
     assert s["add"]["total_s"] >= 0
     assert "matmul" in t.json()
+
+
+def test_stage_timer_blocks_on_work_launched_inside():
+    """Work dispatched *inside* a stage block is attributed to that stage:
+    the body registers its output on the yielded holder and the timer blocks
+    on it at exit (not only on pre-existing block_on values)."""
+    t = U.StageTimer()
+
+    @jax.jit
+    def heavy(x):
+        for _ in range(20):
+            x = jnp.tanh(x @ x)
+        return x
+
+    x = jnp.ones((512, 512))
+    heavy(x).block_until_ready()          # warm the cache
+    with t.stage("heavy") as out:
+        out.value = heavy(x)              # async dispatch inside the stage
+    # At stage exit the value must already be concrete (blocked on), and the
+    # stage recorded.
+    assert jnp.isfinite(out.value).all()
+    rec = t.summary()["heavy"]
+    assert rec["calls"] == 1 and rec["total_s"] > 0

@@ -3,6 +3,14 @@
   python -m vil_sensor_fusion_tpu.cli run --scenario town --duration 4
       run the full VIL system on a synthetic scenario, print metrics
       (replaces fusion_carla.launch replay)
+  python -m vil_sensor_fusion_tpu.cli run --bag X.bag
+      replay a RAW-SENSOR bag (IMU + PointCloud2 + Image) through the FULL
+      stack: organize → LiDAR odometry, images → tracker → EKF, gate,
+      fusion — one command reproducing fusion_carla.launch's job
+      (gtsam_fusion/launch/fusion_carla.launch:13-97)
+  python -m vil_sensor_fusion_tpu.cli record --scenario town --out X.bag
+      render a scenario's raw sensors and record them to a bag
+      (replaces the Carla recording pipeline, carla_ros_bridge.launch)
   python -m vil_sensor_fusion_tpu.cli fuse-bag --bag X.bag --config c.yaml
       run the fusion back-end on a recorded bag's odometry+IMU topics
       (replaces gtsam_fusion_node on a bag)
@@ -19,7 +27,96 @@ import json
 import sys
 
 
+def _bag_rig(width=160, height=120, num_landmarks=16):
+    """The default camera rig for raw-bag runs: a small forward camera with
+    real mounting extrinsics (the image-driven tracker path is resolution-
+    agnostic; 160×120 keeps CLI runs fast — pass a config for the full
+    800×600 Carla rig)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from .frontends import vio as V
+    from .frontends.vio import frontend as F
+
+    cam = V.camera.Camera(fx=107.0, fy=107.0, cx=width / 2.0,
+                          cy=height / 2.0, width=width, height=height)
+    pose_ic = F.forward_camera_extrinsics(jnp.float32)
+    vio_cfg = V.VioConfig(num_landmarks=num_landmarks, update_iters=2,
+                          cam=cam, pose_ic=tuple(np.asarray(pose_ic)))
+    fe_cfg = F.FrontendConfig(cam=cam, n_candidates=32, min_dist=10.0,
+                              min_score=0.5)
+    return vio_cfg, fe_cfg
+
+
+def cmd_record(args):
+    import json as _json
+
+    import jax.numpy as jnp
+
+    from .data import scenarios
+
+    vio_cfg, fe_cfg = _bag_rig()
+    sc = scenarios.build(args.scenario, duration=args.duration,
+                         vio_cfg=vio_cfg, dtype=jnp.float32,
+                         vio_from_images=True, frontend_cfg=fe_cfg,
+                         seed=args.seed)
+    scenarios.write_scenario_bag(args.out, sc,
+                                 compression=args.compression,
+                                 gt_topic="/gt/odometry")
+    import os
+    print(_json.dumps({
+        "bag": args.out, "bytes": os.path.getsize(args.out),
+        "imu_msgs": int(len(sc.imu_times)),
+        "lidar_msgs": int(len(sc.lidar_times)),
+        "image_msgs": int(len(sc.vio_times)),
+    }, indent=2))
+
+
+def _run_bag(args):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from . import fusion as fu
+    from . import graph as G
+    from .degeneracy import gate as DG
+    from .frontends import lidar as L
+    from .fusion import vil
+
+    vio_cfg, fe_cfg = _bag_rig()
+    cfg = vil.VilConfig(
+        vio=vio_cfg,
+        lidar=L.LidarOdomConfig(icp=L.IcpConfig(iters=6, degen_eigval=5.0)),
+        gate=DG.GateConfig(rot_threshold=-1e9, trans_threshold=-5.0,
+                           normalize_per_corr=True),
+        fusion=fu.FusionConfig(
+            smoother=G.SmootherConfig(window=6, between_slots=12, gn_iters=4),
+            sensors=vil.VilConfig().fusion.sensors, max_imu_per_gap=32),
+    )
+    es, res, ba = vil.run_vil_from_bag(
+        args.bag, cfg=cfg, fe_cfg=fe_cfg,
+        topics=dict(gt_topic="/gt/odometry"))
+    out = {
+        "bag": args.bag,
+        "events": int(res.timeline.times.shape[0]),
+        "gate_keep_fraction": float(np.mean(np.asarray(res.gate.keep))),
+        "lidar_trans_logdet_mean": float(
+            np.mean(np.asarray(res.gate.trans_d_opt))),
+    }
+    if ba.gt_poses is not None and len(ba.gt_poses):
+        fused_t = np.asarray(res.fused.times)
+        fused_p = np.asarray(res.fused.poses)
+        idx = np.clip(np.searchsorted(np.asarray(ba.gt_times), fused_t),
+                      0, len(ba.gt_times) - 1)
+        err = np.linalg.norm(
+            fused_p[:, 4:7] - np.asarray(ba.gt_poses)[idx][:, 4:7], axis=1)
+        out["fused_ate_rmse_m"] = float(np.sqrt((err ** 2).mean()))
+    print(json.dumps(out, indent=2))
+
+
 def cmd_run(args):
+    if args.bag:
+        return _run_bag(args)
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -147,11 +244,25 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="vil_sensor_fusion_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    pr = sub.add_parser("run", help="run full VIL on a synthetic scenario")
+    pr = sub.add_parser(
+        "run", help="run full VIL on a synthetic scenario or a raw bag")
     pr.add_argument("--scenario", default="town",
                     choices=["town", "corridor"])
     pr.add_argument("--duration", type=float, default=4.0)
+    pr.add_argument("--bag", default="",
+                    help="raw-sensor bag to replay through the full stack")
     pr.set_defaults(fn=cmd_run)
+
+    pg = sub.add_parser(
+        "record", help="render a scenario's raw sensors into a bag")
+    pg.add_argument("--scenario", default="town",
+                    choices=["town", "corridor"])
+    pg.add_argument("--duration", type=float, default=2.0)
+    pg.add_argument("--seed", type=int, default=0)
+    pg.add_argument("--compression", default="bz2",
+                    choices=["none", "bz2"])
+    pg.add_argument("--out", required=True)
+    pg.set_defaults(fn=cmd_record)
 
     pc = sub.add_parser("convert", help="decode a rosbag to npz arrays")
     pc.add_argument("--bag", required=True)

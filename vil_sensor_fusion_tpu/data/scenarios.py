@@ -42,6 +42,9 @@ class VilScenario(NamedTuple):
     # DEGEN_TRANS dictionaries of make_prettier_graphs.py:46-120. Empty for
     # well-conditioned scenarios.
     degen_windows: tuple = ()
+    # Rendered camera frames (T_v, H, W), kept when vio_from_images so the
+    # scenario can be serialized to a raw-sensor bag (write_scenario_bag).
+    images: object = None
 
 
 def _corridor_traj(speed: float = 4.0):
@@ -80,7 +83,17 @@ def build(
     seed: int = 0,
     imu_accel_noise: float = 0.0,
     imu_gyro_noise: float = 0.0,
+    vio_from_images: bool = False,
+    frontend_cfg=None,
+    sweep_stride: int = 4,
 ) -> VilScenario:
+    """``vio_from_images``: instead of synthetic GT feature tracks, render
+    camera frames from the raycast world and run the image-driven tracker
+    frontend (Shi-Tomasi + KLT + LiDAR feature depth) to produce the VIO
+    frame stream — the full ROVIO-equivalent image path. Requires
+    ``vio_cfg.pose_ic`` to be a real camera mounting (e.g.
+    frontend.forward_camera_extrinsics()); ``sweep_stride`` decimates sweep
+    azimuth for the depth association."""
     if vio_cfg is None:
         vio_cfg = V.VioConfig()
     degen_windows = ()
@@ -122,19 +135,50 @@ def build(
         jax.vmap(traj.pose_fn)(jnp.asarray(vio_times, dtype)))
     imu_w = V.synthetic.imu_windows_for_frames(
         traj, vio_times, imu_hz=imu_hz, dtype=dtype)
-    # VIO landmarks: scatter around the drive path.
-    lms = V.synthetic.landmark_field(400, seed=seed + 1, extent=lm_extent,
-                                     height=lm_height)
-    lms[:, 0] += duration * 2.0  # center along the drive
-    frames = V.synthetic.make_frames(
-        vio_cfg, poses_gt_vio, imu_w, lms, pixel_noise=0.5,
-        depth_noise=0.05, seed=seed + 2)
-    frames = jax.tree_util.tree_map(lambda x: x.astype(dtype), frames)
 
     lidar_times = (np.arange(int(duration * lidar_hz)) + 1.0) / lidar_hz
     poses_gt_lidar = np.asarray(
         jax.vmap(traj.pose_fn)(jnp.asarray(lidar_times, dtype)))
     sweeps = rc.sweep_series(world, jnp.asarray(poses_gt_lidar, dtype))
+
+    if vio_from_images:
+        from ..core import lie
+        from ..frontends.vio import frontend as F
+
+        fcfg = frontend_cfg or F.FrontendConfig(cam=vio_cfg.cam)
+        pose_ic = jnp.asarray(vio_cfg.pose_ic, dtype)
+        poses_v = jnp.asarray(poses_gt_vio, dtype)
+        poses_cam = jax.vmap(lambda p: lie.pose_compose(p, pose_ic))(poses_v)
+        images = rc.render_camera_series(world, poses_cam, vio_cfg.cam)
+        # Most recent sweep per frame (frames before the first sweep use it).
+        sw_idx = np.clip(
+            np.searchsorted(lidar_times, vio_times + 1e-9) - 1, 0, None)
+        sw_xyz = sweeps.xyz[:, :, ::sweep_stride, :].reshape(
+            len(lidar_times), -1, 3)[sw_idx]
+        sw_msk = sweeps.mask[:, :, ::sweep_stride].reshape(
+            len(lidar_times), -1)[sw_idx]
+        # Move each sweep into its frame's camera: cam_T_lidar(t, ts) =
+        # (world_T_cam_t)⁻¹ ∘ world_T_lidar_ts (GT here; the bag path uses
+        # the LiDAR odometry poses instead).
+        poses_l = jnp.asarray(poses_gt_lidar, dtype)[jnp.asarray(sw_idx)]
+        pose_cl = jax.vmap(
+            lambda pc, pl_: lie.pose_compose(lie.pose_inverse(pc), pl_)
+        )(poses_cam, poses_l)
+        pts_cam = jax.vmap(
+            lambda x, q, t: lie.quat_rotate(q[None], x) + t[None]
+        )(sw_xyz, lie.pose_quat(pose_cl), lie.pose_trans(pose_cl))
+        frames = F.build_frames(
+            fcfg, images.astype(dtype), pts_cam.astype(dtype),
+            sw_msk.astype(dtype), imu_w, vio_cfg.num_landmarks)
+    else:
+        # Synthetic GT feature tracks (exact projections, the fast path).
+        lms = V.synthetic.landmark_field(400, seed=seed + 1, extent=lm_extent,
+                                         height=lm_height)
+        lms[:, 0] += duration * 2.0  # center along the drive
+        frames = V.synthetic.make_frames(
+            vio_cfg, poses_gt_vio, imu_w, lms, pixel_noise=0.5,
+            depth_noise=0.05, seed=seed + 2)
+    frames = jax.tree_util.tree_map(lambda x: x.astype(dtype), frames)
     # Each sweep's prior = the VIO frame at the same time (vio_hz multiple).
     ratio = vio_hz / lidar_hz
     guess_idx = (np.round((np.arange(len(lidar_times)) + 1) * ratio) - 1
@@ -147,4 +191,51 @@ def build(
         lidar_times=lidar_times, sweeps=sweeps, lidar_guess_idx=guess_idx,
         gt_vio_poses=poses_gt_vio, gt_lidar_poses=poses_gt_lidar,
         degen_windows=degen_windows,
+        images=images if vio_from_images else None,
     )
+
+
+def write_scenario_bag(
+    path,
+    sc: VilScenario,
+    compression: str = "none",
+    imu_topic: str = "/imu/fusion",
+    lidar_topic: str = "/lidar",
+    camera_topic: str = "/cam_forward/image_raw",
+    gt_topic: str = "/gt/odometry",
+) -> None:
+    """Serialize a scenario to a **raw-sensor** rosbag — the product
+    replacement for the Carla recording pipeline
+    (carla_tools/launch/carla_ros_bridge.launch records exactly these
+    topics). The bag replays through the full stack via
+    fusion.run_vil_from_bag / `cli run --bag`.
+
+    Requires a scenario built with ``vio_from_images=True`` (images are the
+    raw camera stream)."""
+    import numpy as np
+
+    from .rosbag_writer import BagWriter
+
+    if sc.images is None:
+        raise ValueError("scenario has no images — build with "
+                         "vio_from_images=True")
+    with BagWriter(path, compression=compression) as w:
+        imu_t = np.asarray(sc.imu_times, float)
+        acc = np.asarray(sc.imu_accel, float)
+        gyr = np.asarray(sc.imu_gyro, float)
+        for i in range(len(imu_t)):
+            w.write_msg(imu_topic, "sensor_msgs/Imu", float(imu_t[i]),
+                        gyr[i], acc[i])
+        xyz = np.asarray(sc.sweeps.xyz, np.float32)
+        msk = np.asarray(sc.sweeps.mask) > 0
+        for i, t in enumerate(np.asarray(sc.lidar_times, float)):
+            pts = xyz[i][msk[i]]
+            w.write_msg(lidar_topic, "sensor_msgs/PointCloud2", float(t),
+                        pts)
+        imgs = np.clip(np.asarray(sc.images), 0, 255).astype(np.uint8)
+        for i, t in enumerate(np.asarray(sc.vio_times, float)):
+            w.write_msg(camera_topic, "sensor_msgs/Image", float(t),
+                        imgs[i])
+        for i, t in enumerate(np.asarray(sc.vio_times, float)):
+            w.write_msg(gt_topic, "nav_msgs/Odometry", float(t),
+                        np.asarray(sc.gt_vio_poses[i], float))

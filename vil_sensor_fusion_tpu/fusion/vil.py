@@ -114,3 +114,101 @@ def run_vil(
 
     return es, VilResult(fused=fused, timeline=tl, vio_out=vio_out,
                          lidar_out=lidar_out, gate=gate_res)
+
+
+def build_vio_frames_from_bag(
+    fe_cfg,
+    ba,                            # data.ingest.BagArrays
+    pose_ic: jnp.ndarray,          # (7,) imu_T_camera
+    num_slots: int,
+    sweep_stride: int = 4,
+    dtype=jnp.float32,
+):
+    """Raw bag streams → VioFrameInput via the image tracker frontend.
+
+    Feature depth comes from the most recent sweep moved into the camera by
+    the rig extrinsics alone (LiDAR at the IMU): the ≤1-sweep-period motion
+    between sweep and frame is absorbed by the coarse depth grid — the same
+    tolerance ROVIO's useDepthFromLiDAR association operates under
+    (rovio.cfg:132-138)."""
+    from ..frontends.vio import frontend as F
+    from ..data import ingest as IG
+
+    imu_w = IG.imu_windows_from_stream(
+        ba.imu_times, ba.imu_accel, ba.imu_gyro, ba.cam_times, dtype=dtype)
+    T_l = len(ba.lidar_times)
+    sw_idx = np.clip(
+        np.searchsorted(ba.lidar_times, ba.cam_times + 1e-9) - 1, 0, None)
+    xyz = jnp.asarray(ba.sweeps.xyz)[:, :, ::sweep_stride, :].reshape(
+        T_l, -1, 3)[jnp.asarray(sw_idx)]
+    msk = jnp.asarray(ba.sweeps.mask)[:, :, ::sweep_stride].reshape(
+        T_l, -1)[jnp.asarray(sw_idx)]
+    pose_ci = lie.pose_inverse(jnp.asarray(pose_ic, dtype))
+    pts_cam = lie.quat_rotate(lie.pose_quat(pose_ci)[None, None], xyz) \
+        + lie.pose_trans(pose_ci)[None, None]
+    return F.build_frames(
+        fe_cfg, jnp.asarray(ba.images, dtype), pts_cam.astype(dtype),
+        msk.astype(dtype), imu_w, num_slots)
+
+
+def run_vil_from_bag(
+    path,
+    cfg: VilConfig = None,
+    fe_cfg=None,
+    pose_ic: jnp.ndarray | None = None,
+    topics: dict | None = None,
+    sweep_stride: int = 4,
+    dtype=jnp.float32,
+):
+    """Replay a raw-sensor bag through the FULL stack — bag → organized
+    sweeps → LiDAR odometry, bag → images → tracker → EKF, degeneracy gate,
+    fusion — one call reproducing fusion_carla.launch's job
+    (/root/reference/gtsam_fusion/launch/fusion_carla.launch:13-97).
+
+    Returns (engine_state, VilResult, BagArrays)."""
+    from ..data import ingest as IG
+    from ..frontends.vio import frontend as F
+
+    cfg = cfg or VilConfig()
+    if pose_ic is None:
+        pose_ic = jnp.asarray(cfg.vio.pose_ic, dtype)
+    fe_cfg = fe_cfg or F.FrontendConfig(cam=cfg.vio.cam)
+    ba = IG.load_bag(path, dtype=dtype, **(topics or {}))
+
+    frames = build_vio_frames_from_bag(
+        fe_cfg, ba, pose_ic, cfg.vio.num_landmarks,
+        sweep_stride=sweep_stride, dtype=dtype)
+
+    # Initial state: GT odometry if recorded, else identity at rest (the
+    # reference hardcodes identity priors — GraphManager.cpp:20-35).
+    if ba.gt_poses is not None and len(ba.gt_poses):
+        pose0 = jnp.asarray(ba.gt_poses[0], dtype)
+        if len(ba.gt_poses) > 1:
+            dt = float(ba.gt_times[1] - ba.gt_times[0])
+            vel0 = (jnp.asarray(ba.gt_poses[1, 4:7], dtype)
+                    - pose0[4:7]) / max(dt, 1e-6)
+        else:
+            vel0 = jnp.zeros(3, dtype)
+    else:
+        pose0 = lie.pose_identity(dtype)
+        vel0 = jnp.zeros(3, dtype)
+
+    from ..frontends import vio as V2
+    vio_state = V2.init(cfg.vio, pose0, vel0, jnp.zeros(6, dtype))
+    lidar_state = L.odometry.init(cfg.lidar, dtype)
+    guess_idx = np.clip(
+        np.searchsorted(ba.cam_times, ba.lidar_times + 1e-9) - 1, 0, None)
+    t0 = jnp.asarray(min(float(ba.imu_times[0]),
+                         float(ba.cam_times[0])) - 1e-3, dtype)
+    es = E.init(cfg.fusion, pose0, vel0, jnp.zeros(6, dtype), t0)
+
+    es, res = run_vil(
+        cfg,
+        jnp.asarray(ba.imu_times, dtype), jnp.asarray(ba.imu_accel, dtype),
+        jnp.asarray(ba.imu_gyro, dtype),
+        ba.cam_times, frames, vio_state,
+        ba.lidar_times, ba.sweeps, lidar_state,
+        lidar_guess_from_vio_idx=guess_idx,
+        engine_state=es,
+    )
+    return es, res, ba
