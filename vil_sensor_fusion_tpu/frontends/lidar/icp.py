@@ -185,10 +185,23 @@ def register(
     map_corners: jnp.ndarray, map_corner_mask: jnp.ndarray,
     map_surfs: jnp.ndarray, map_surf_mask: jnp.ndarray,
     cfg: IcpConfig = IcpConfig(),
+    axis_name: str | None = None,
 ) -> IcpResult:
     """Full scan-to-map registration: fixed GN iterations with fresh
     correspondences each iteration, degeneracy-projected updates, and the
-    final 6×6 Hessian returned as the degeneracy signal."""
+    final 6×6 Hessian returned as the degeneracy signal.
+
+    ``axis_name``: when called inside ``shard_map`` with the query point
+    arrays (corners/surfs + masks) sharded over a mesh axis and the map
+    replicated, pass that axis name — the per-device partial normal
+    equations Σ wJᵀJ / Σ wJᵀr are psum-reduced over ICI every iteration (the
+    distributed reduced-system pattern), so every device applies the same
+    global GN update. The returned IcpResult is replicated."""
+
+    def _reduce(*xs):
+        if axis_name is None:
+            return xs
+        return tuple(jax.lax.psum(x, axis_name) for x in xs)
 
     def body(_, carry):
         pose, _, _ = carry
@@ -198,8 +211,7 @@ def register(
             pose, surfs, surf_mask, map_surfs, map_surf_mask, cfg)
         Hl, gl = accumulate_normal_eqs(rl, Jl, wl)
         Hp, gp = accumulate_normal_eqs(rp, Jp, wp)
-        H = Hl + Hp
-        g = gl + gp
+        H, g = _reduce(Hl + Hp, gl + gp)
         dx, degen = degeneracy_projected_step(H, g, cfg)
         pose_new = lie.pose_retract(pose, dx)
         return pose_new, H, degen
@@ -219,10 +231,12 @@ def register(
     rp = jnp.where((wp > 0)[:, None], rp, 0.0)
     cost = (jnp.einsum("qr,q,qr->", rl, wl, rl)
             + jnp.einsum("qr,q,qr->", rp, wp, rp))
+    hessian, cost, n_corr = _reduce(
+        Hl + Hp, cost, jnp.sum(wl) + jnp.sum(wp))
     return IcpResult(
         pose=pose,
-        hessian=Hl + Hp,
+        hessian=hessian,
         cost=cost,
-        n_corr=jnp.sum(wl) + jnp.sum(wp),
+        n_corr=n_corr,
         degenerate=degen,
     )

@@ -71,9 +71,16 @@ def step(
     state: LidarOdomState,
     sweep: Sweep,
     pose_guess: jnp.ndarray,
+    register_fn=None,
 ) -> tuple[LidarOdomState, LidarOdomResult]:
     """Process one sweep. ``pose_guess`` is the motion-model / IMU prior
-    (LOAM's external-prior input; identity-motion fallback)."""
+    (LOAM's external-prior input; identity-motion fallback).
+
+    ``register_fn``: optional registration override with ``icp.register``'s
+    positional signature (pose0, q_c, m_c, q_s, m_s, map_c, map_cm, map_s,
+    map_sm) → IcpResult — the hook the model-parallel path uses to run the
+    normal-equation reduction sharded over points (parallel.ops
+    .make_sharded_lidar_step)."""
     dtype = state.pose.dtype
     fs = feat.extract(sweep)
 
@@ -89,11 +96,14 @@ def step(
     sub_s = vm.submap(state.surf_map, center, cfg.submap_surfs,
                       cfg.submap_radius)
 
-    res = I.register(
+    if register_fn is None:
+        def register_fn(*a):
+            return I.register(*a, cfg.icp)
+
+    res = register_fn(
         pose_guess,
         q_corners, q_corner_mask, q_surfs, q_surf_mask,
         sub_c.points, sub_c.mask, sub_s.points, sub_s.mask,
-        cfg.icp,
     )
     # First sweep: no map yet — keep the guess.
     has_map = state.initialized > 0
@@ -130,12 +140,13 @@ def run(
     state: LidarOdomState,
     sweeps: Sweep,                 # stacked (T, R, A, ·)
     pose_guesses: jnp.ndarray,     # (T, 7) per-sweep priors
+    register_fn=None,
 ) -> tuple[LidarOdomState, LidarOdomResult]:
     """Scan over a whole drive (jit end-to-end)."""
 
     def body(st, x):
         sweep, guess = x
-        return step(cfg, st, sweep, guess)
+        return step(cfg, st, sweep, guess, register_fn=register_fn)
 
     return jax.lax.scan(body, state, (sweeps, pose_guesses))
 

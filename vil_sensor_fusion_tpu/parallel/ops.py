@@ -73,6 +73,65 @@ def sharded_normal_eqs(mesh):
     return jax.jit(sharded)
 
 
+def make_sharded_register(mesh, icp_cfg):
+    """``icp.register`` with the query point sets sharded over the model
+    axis and the map replicated: every GN iteration each device finds
+    correspondences and accumulates normal equations for its point shard,
+    then psums (H, g) over ICI so all devices apply the same global update
+    (icp.register's ``axis_name`` path). Returns a function with register's
+    positional signature (sans cfg) — directly usable as
+    ``odometry.step(register_fn=...)``."""
+    from ..frontends.lidar import icp as I
+
+    n = mesh.shape[MODEL_AXIS]
+
+    def per_shard(pose0, qc, mc, qs, ms, map_c, map_cm, map_s, map_sm):
+        return I.register(pose0, qc, mc, qs, ms, map_c, map_cm, map_s,
+                          map_sm, icp_cfg, axis_name=MODEL_AXIS)
+
+    m = P(MODEL_AXIS)
+    r = P()
+    sharded = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(r, m, m, m, m, r, r, r, r),
+        out_specs=r,
+        check_vma=False,
+    )
+
+    def register_fn(pose0, qc, mc, qs, ms, map_c, map_cm, map_s, map_sm):
+        # Pad the query axes to a multiple of the model-axis size; padded
+        # rows carry mask 0 and contribute nothing.
+        def pad2(x):
+            return jnp.pad(x, ((0, (-x.shape[0]) % n), (0, 0)))
+
+        def pad1(x):
+            return jnp.pad(x, (0, (-x.shape[0]) % n))
+
+        return sharded(pose0, pad2(qc), pad1(mc), pad2(qs), pad1(ms),
+                       map_c, map_cm, map_s, map_sm)
+
+    return register_fn
+
+
+def make_sharded_lidar_step(mesh, cfg):
+    """The REAL LiDAR odometry step (feature extraction → submap → sharded
+    scan-to-map registration → map update) with the ICP normal equations
+    model-parallel over the mesh. Feature extraction and map bookkeeping are
+    replicated (cheap); the registration loop — the hot path — shards its
+    points and reduces over ICI.
+
+    fn(state, sweep, pose_guess) → (state, LidarOdomResult), jitted.
+    """
+    from ..frontends.lidar import odometry as O
+
+    reg = make_sharded_register(mesh, cfg.icp)
+
+    def stepfn(state, sweep, guess):
+        return O.step(cfg, state, sweep, guess, register_fn=reg)
+
+    return jax.jit(stepfn)
+
+
 def sharded_metric_series(mesh, names):
     """Degeneracy metric evaluation over a (B, T, 6, 6) Hessian batch,
     B sharded over data — the whole-fleet version of score_series."""
