@@ -271,3 +271,115 @@ class TestOdometryPipeline:
             - np.asarray(lie.pose_trans(poses_gt)), axis=-1)
         # First pose is pinned to the guess; subsequent tracked within 10 cm.
         assert err[1:].max() < 0.1, err
+
+
+class TestTwoStage:
+    def test_two_stage_tracks_without_external_prior(self):
+        """The LOAM launch-graph structure: scan-to-scan laser_odometry
+        feeding scan-to-map laser_mapping (loam.launch:31-57). With only a
+        constant-velocity motion model (no VIO prior), the two-stage
+        pipeline must track a drive."""
+        w = rc.town_world(n_boxes=32, seed=4)
+        T = 8
+        xs = jnp.arange(T, dtype=DTYPE) * 0.4
+        poses_gt = jax.vmap(lambda x: _pose(x=x))(xs)
+        sweeps = rc.sweep_series(w, poses_gt)
+
+        cfg = L.LidarOdomConfig(
+            icp=L.IcpConfig(iters=8, degen_eigval=5.0),
+            two_stage=True)
+        st = L.odometry.init(cfg, DTYPE)
+
+        @jax.jit
+        def drive(st, sweeps):
+            def body(carry, sweep):
+                st, prev, prev2 = carry
+                guess = L.constant_velocity_guess(prev, prev2)
+                st, res = L.odometry.step(cfg, st, sweep, guess)
+                return (st, res.pose, prev), res
+
+            init_pose = poses_gt[0]
+            (st, _, _), out = jax.lax.scan(
+                body, (st, init_pose, init_pose), sweeps)
+            return st, out
+
+        st, out = drive(st, sweeps)
+        err = np.linalg.norm(
+            np.asarray(lie.pose_trans(out.pose))
+            - np.asarray(lie.pose_trans(poses_gt)), axis=-1)
+        assert err[1:].max() < 0.1, err
+        # The odometry stage produced its own (coarser) estimate and
+        # Hessian, distinct from the mapping result.
+        assert np.isfinite(np.asarray(out.odom_pose)).all()
+        assert float(jnp.abs(out.odom_hessian[1:]).max()) > 0
+
+
+class TestUndistortion:
+    def test_undistortion_recovers_moving_sweep(self):
+        """Motion-distorted sweeps (each azimuth column cast from the pose
+        at its scan time, recorded uncompensated) break registration; with
+        cfg.undistort the motion prior re-warps the cloud and the estimate
+        recovers — loam_params.yaml undistortInputCloud/scanPeriod."""
+        w = rc.town_world(n_boxes=32, seed=4)
+        # Map seeded by a sweep ending at x=0.
+        p0 = _pose(x=0.0)
+        sweep0 = rc.raycast(w, p0)
+        # Fast continuous motion during the second sweep: 1.2 m over one
+        # scan, starting where the previous sweep ended (so the
+        # constant-velocity prior matches the within-sweep motion — the
+        # spinning-LiDAR reality the scanPeriod model assumes).
+        p1b = _pose(x=1.2)
+        sweep1 = rc.raycast_motion(w, p0, p1b)
+
+        errs = {}
+        for undistort in (False, True):
+            cfg = L.LidarOdomConfig(
+                icp=L.IcpConfig(iters=8, degen_eigval=5.0),
+                undistort=undistort)
+            st = L.odometry.init(cfg, DTYPE)
+            step = jax.jit(lambda st, sw, g, cfg=cfg: L.odometry.step(
+                cfg, st, sw, g))
+            st, _ = step(st, sweep0, p0)
+            # Prior = the true end pose (the IMU/VIO prior the launch graph
+            # provides); registration should refine, not degrade.
+            st, res = step(st, sweep1, p1b)
+            errs[undistort] = float(jnp.linalg.norm(
+                lie.pose_trans(res.pose) - lie.pose_trans(p1b)))
+
+        assert errs[True] < 0.08, errs
+        assert errs[True] < errs[False] * 0.7, errs
+
+
+class TestPerturbationDists:
+    def test_dist_slopes_flat_along_corridor_axis(self):
+        """The thesis fork's 6×15 perturbation-sweep distances
+        (OdometryWithHessian dists, make_prettier_graphs.py:429-446): in a
+        corridor the cost is insensitive to motion along the corridor (x),
+        so dist_slope_tx ≈ 0 while the cross-axes grow — and in a feature-
+        rich town all translational slopes are substantial."""
+        slopes = {}
+        for name, world in [("corridor", rc.corridor_world(width=8.0,
+                                                           height=5.0)),
+                            ("town", rc.town_world(n_boxes=32, seed=4))]:
+            p0 = _pose(x=0.0)
+            p1 = _pose(x=0.4)
+            cfg = L.LidarOdomConfig(
+                icp=L.IcpConfig(iters=8, degen_eigval=5.0),
+                emit_dists=True)
+            st = L.odometry.init(cfg, DTYPE)
+            step = jax.jit(lambda st, sw, g, cfg=cfg: L.odometry.step(
+                cfg, st, sw, g))
+            st, _ = step(st, rc.raycast(world, p0), p0)
+            st, res = step(st, rc.raycast(world, p1), p1)
+            s = deg.metrics.dist_slopes_6dof(
+                res.dists.dists, res.dists.shift_trans,
+                res.dists.shift_rot)
+            slopes[name] = np.asarray(s)
+
+        # Corridor: x-translation slope far below the cross-track slopes.
+        cx, cy, cz = slopes["corridor"][:3]
+        assert cx < 0.1 * max(cy, cz), slopes["corridor"]
+        # Town: every translational slope is substantial.
+        assert slopes["town"][:3].min() > 0.1, slopes["town"]
+        # Town tx slope dominates corridor tx slope.
+        assert slopes["town"][0] > 5 * cx

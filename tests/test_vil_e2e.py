@@ -29,11 +29,16 @@ DTYPE = jnp.float32
 
 def _run_scenario(kind, duration=3.0, gate_cfg=None):
     vio_cfg = V.VioConfig(num_landmarks=24, update_iters=2)
+    # Motion-distorted sweeps (real spinning-LiDAR capture) + the full
+    # LOAM-depth pipeline: undistortion, two-stage scan-to-scan/scan-to-map
+    # registration, and the perturbation-sweep dists arrays.
     sc = scenarios.build(kind, duration=duration, vio_cfg=vio_cfg,
-                         dtype=DTYPE)
+                         dtype=DTYPE, distort_sweeps=True)
     cfg = vil.VilConfig(
         vio=vio_cfg,
-        lidar=L.LidarOdomConfig(icp=L.IcpConfig(iters=6, degen_eigval=5.0)),
+        lidar=L.LidarOdomConfig(icp=L.IcpConfig(iters=6, degen_eigval=5.0),
+                                two_stage=True, undistort=True,
+                                emit_dists=True),
         # Per-correspondence normalized gate: the raw log-det scale depends on
         # the correspondence count, so the reference's 28.9 does not transfer;
         # normalized, town scores ≈ -3.4 and corridor ≈ -7 → -5 separates.
@@ -121,5 +126,32 @@ class TestCorridorDrive:
         labels = jnp.concatenate([
             jnp.ones_like(res_cor.gate.trans_d_opt[1:], bool),
             jnp.zeros_like(res_town.gate.trans_d_opt[1:], bool)])
+        curve = ev.roc_curve(labels, scores)
+        assert float(curve.auc) > 0.9, float(curve.auc)
+
+    def test_dist_slope_detects_corridor_degeneracy(self, corridor_run,
+                                                    town_run):
+        """The research fork's dist_slope metric end-to-end: the pipeline's
+        perturbation-sweep dists (OdometryWithHessian
+        dists/shift_trans/shift_rot, make_prettier_graphs.py:429-446) feed
+        dist_slopes_6dof; the x-translation slope separates corridor
+        (cost flat along the travel axis) from town with high AUC."""
+        from vil_sensor_fusion_tpu.degeneracy import metrics as M
+
+        _, res_cor, _ = corridor_run
+        _, res_town, _ = town_run
+
+        def tx_slope(res):
+            d = res.lidar_out.dists
+            s = M.dist_slopes_6dof(d.dists, d.shift_trans[0],
+                                   d.shift_rot[0])
+            return s[1:, 0]          # skip the map-seeding first sweep
+
+        s_cor = tx_slope(res_cor)
+        s_town = tx_slope(res_town)
+        assert float(jnp.mean(s_cor)) < float(jnp.mean(s_town))
+        scores = jnp.concatenate([s_cor, s_town])
+        labels = jnp.concatenate([jnp.ones_like(s_cor, bool),
+                                  jnp.zeros_like(s_town, bool)])
         curve = ev.roc_curve(labels, scores)
         assert float(curve.auc) > 0.9, float(curve.auc)

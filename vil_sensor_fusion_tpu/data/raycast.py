@@ -222,8 +222,13 @@ def render_camera(
 
 def render_camera_series(world: World, poses_wc: jnp.ndarray, cam,
                          **kw) -> jnp.ndarray:
-    """(T, 7) camera poses → (T, H, W) rendered frames."""
-    return jax.vmap(lambda p: render_camera(world, p, cam, **kw))(poses_wc)
+    """(T, 7) camera poses → (T, H, W) rendered frames.
+
+    Sequential ``lax.map`` rather than vmap: a vmapped render materializes
+    (T, H, W, boxes, 3) ray-slab intermediates — gigabytes at real frame
+    counts/resolutions — while per-frame HBM is a few tens of MB."""
+    return jax.lax.map(lambda p: render_camera(world, p, cam, **kw),
+                       poses_wc)
 
 
 def _ray_dirs(dtype) -> jnp.ndarray:
@@ -257,5 +262,44 @@ def raycast(world: World, pose: jnp.ndarray, max_range: float = 120.0,
 
 def sweep_series(world: World, poses: jnp.ndarray,
                  max_range: float = 120.0) -> Sweep:
-    """Raycast a batch of poses → stacked Sweeps (T, R, A, ·)."""
-    return jax.vmap(lambda p: raycast(world, p, max_range))(poses)
+    """Raycast a batch of poses → stacked Sweeps (T, R, A, ·). Sequential
+    ``lax.map`` for the same HBM reason as render_camera_series."""
+    return jax.lax.map(lambda p: raycast(world, p, max_range), poses)
+
+
+def raycast_motion(world: World, pose_start: jnp.ndarray,
+                   pose_end: jnp.ndarray, max_range: float = 120.0,
+                   min_range: float = 0.5) -> Sweep:
+    """Motion-DISTORTED sweep: azimuth column ``a`` is cast from the sensor
+    pose at scan fraction (a+0.5)/A (constant-velocity screw interpolation
+    start→end), and its points are expressed in the **end** sensor frame
+    uncompensated — exactly the distortion a real spinning LiDAR records
+    while moving (what loam_params.yaml ``undistortInputCloud``/`scanPeriod`
+    exists to correct)."""
+    dtype = pose_start.dtype
+    dirs_s = _ray_dirs(dtype)                                    # (R, A, 3)
+    A = dirs_s.shape[1]
+    frac = (jnp.arange(A, dtype=dtype) + 0.5) / A
+    xi = lie.se3_log(lie.pose_between(pose_start, pose_end))     # (6,)
+    poses_t = jax.vmap(
+        lambda f: lie.pose_compose(pose_start, lie.se3_exp(xi * f)))(frac)
+
+    q_t = lie.pose_quat(poses_t)                                 # (A, 4)
+    o_t = lie.pose_trans(poses_t)                                # (A, 3)
+    dirs = lie.quat_rotate(q_t[None, :, :], dirs_s)              # world frame
+    # cast() takes a single origin — vmap over azimuth columns, each with
+    # its own interpolated sensor origin.
+    t, _ = jax.vmap(
+        lambda o_col, d_col: cast(world, o_col, d_col,
+                                  min_range=min_range),
+        in_axes=(0, 1), out_axes=1)(o_t, dirs)
+    valid = (t < max_range).astype(dtype)
+    t_safe = jnp.where(valid > 0, t, 0.0)
+    pts_w = o_t[None, :, :] + t_safe[..., None] * dirs
+    # Each column's points are recorded RAW in that column's instantaneous
+    # sensor frame and the assembled cloud pretends they share one frame —
+    # the uncompensated distortion undistort() must undo (each point is off
+    # by end_T_capture).
+    pts_s = lie.quat_rotate(
+        lie.quat_conjugate(q_t)[None, :, :], pts_w - o_t[None, :, :])
+    return Sweep(xyz=pts_s * valid[..., None], rng=t_safe, mask=valid)

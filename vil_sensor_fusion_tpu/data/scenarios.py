@@ -45,6 +45,11 @@ class VilScenario(NamedTuple):
     # Rendered camera frames (T_v, H, W), kept when vio_from_images so the
     # scenario can be serialized to a raw-sensor bag (write_scenario_bag).
     images: object = None
+    # Per-frame sweep points in the camera frame + validity (T_v, P, 3)/(T_v,
+    # P) — the tracker frontend's depth-association inputs, kept when
+    # vio_from_images so benchmarks can re-run the frontend stage alone.
+    cam_points: object = None
+    cam_point_valid: object = None
 
 
 def _corridor_traj(speed: float = 4.0):
@@ -86,6 +91,7 @@ def build(
     vio_from_images: bool = False,
     frontend_cfg=None,
     sweep_stride: int = 4,
+    distort_sweeps: bool = False,
 ) -> VilScenario:
     """``vio_from_images``: instead of synthetic GT feature tracks, render
     camera frames from the raycast world and run the image-driven tracker
@@ -139,7 +145,18 @@ def build(
     lidar_times = (np.arange(int(duration * lidar_hz)) + 1.0) / lidar_hz
     poses_gt_lidar = np.asarray(
         jax.vmap(traj.pose_fn)(jnp.asarray(lidar_times, dtype)))
-    sweeps = rc.sweep_series(world, jnp.asarray(poses_gt_lidar, dtype))
+    if distort_sweeps:
+        # Real spinning-LiDAR capture: each azimuth column cast from the
+        # sensor pose at its scan time, recorded uncompensated (what
+        # loam_params.yaml scanPeriod/undistortInputCloud corrects).
+        poses_start = jnp.asarray(np.asarray(jax.vmap(traj.pose_fn)(
+            jnp.asarray(lidar_times - 1.0 / lidar_hz, dtype))), dtype)
+        poses_end = jnp.asarray(poses_gt_lidar, dtype)
+        sweeps = jax.lax.map(
+            lambda pe: rc.raycast_motion(world, pe[0], pe[1]),
+            (poses_start, poses_end))
+    else:
+        sweeps = rc.sweep_series(world, jnp.asarray(poses_gt_lidar, dtype))
 
     if vio_from_images:
         from ..core import lie
@@ -192,6 +209,8 @@ def build(
         gt_vio_poses=poses_gt_vio, gt_lidar_poses=poses_gt_lidar,
         degen_windows=degen_windows,
         images=images if vio_from_images else None,
+        cam_points=pts_cam if vio_from_images else None,
+        cam_point_valid=sw_msk if vio_from_images else None,
     )
 
 

@@ -49,6 +49,17 @@ class FeatureSet(NamedTuple):
     less_flat_mask: jnp.ndarray
 
 
+def pool_sizes(rings: int, azimuth: int) -> tuple[int, int]:
+    """Static sizes of the (corner pool, surface pool) clouds extract()
+    produces for an (R, A) sweep — what scan-to-scan registration stores as
+    the previous sweep's matching targets."""
+    n_corner = rings * FEATURE_REGIONS * MAX_LESS_SHARP
+    n_surf = (rings * FEATURE_REGIONS * MAX_FLAT
+              + rings * ((azimuth + LESS_FLAT_STRIDE - 1)
+                         // LESS_FLAT_STRIDE))
+    return n_corner, n_surf
+
+
 def curvature(sweep: Sweep) -> tuple[jnp.ndarray, jnp.ndarray]:
     """LOAM curvature: c_i = ‖Σ_{k=±1..±K}(p_{i+k} − p_i)‖² per ring point,
     normalized by range (scale invariance). Returns (curv (R,A), valid (R,A))

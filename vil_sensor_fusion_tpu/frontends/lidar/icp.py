@@ -76,16 +76,12 @@ def _transform(pose: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
         + lie.pose_trans(pose)[None, :]
 
 
-def line_correspondences(
+def line_fits(
     pose, corners, corner_mask, map_corners, map_mask, cfg: IcpConfig,
 ):
-    """Point-to-line: 5-NN in the corner map, line via the principal
-    eigenvector of the neighbor scatter (LaserMapping's corner matching).
-
-    Returns (res (Q,3), J (Q,3,6), w (Q,)) — residual is the perpendicular
-    displacement from the fitted line, Jacobian wrt right-perturbation
-    (rho, theta) of ``pose``.
-    """
+    """5-NN line fits in the corner map at ``pose``: returns
+    (centroid (Q,3), direction (Q,3), w (Q,)) — the correspondence geometry
+    shared by the GN residuals and the perturbation-distance sweep."""
     p_map = _transform(pose, corners)                     # (Q, 3)
     idx, d2 = knn(p_map, corner_mask, map_corners, map_mask)
     nn = map_corners[idx]                                 # (Q, K, 3)
@@ -97,6 +93,22 @@ def line_correspondences(
     is_line = eigval[..., -1] > cfg.line_eig_ratio * eigval[..., -2]
     near = d2[:, -1] < cfg.max_corr_dist ** 2             # worst NN in radius
     w = corner_mask * is_line.astype(corners.dtype) * near.astype(corners.dtype)
+    return centroid, d, w
+
+
+def line_correspondences(
+    pose, corners, corner_mask, map_corners, map_mask, cfg: IcpConfig,
+):
+    """Point-to-line: 5-NN in the corner map, line via the principal
+    eigenvector of the neighbor scatter (LaserMapping's corner matching).
+
+    Returns (res (Q,3), J (Q,3,6), w (Q,)) — residual is the perpendicular
+    displacement from the fitted line, Jacobian wrt right-perturbation
+    (rho, theta) of ``pose``.
+    """
+    centroid, d, w = line_fits(
+        pose, corners, corner_mask, map_corners, map_mask, cfg)
+    p_map = _transform(pose, corners)
 
     P = jnp.eye(3, dtype=corners.dtype)[None] - d[:, :, None] * d[:, None, :]
     res = jnp.einsum("qij,qj->qi", P, p_map - centroid)
@@ -108,16 +120,11 @@ def line_correspondences(
     return res, J, w
 
 
-def plane_correspondences(
+def plane_fits(
     pose, surfs, surf_mask, map_surfs, map_mask, cfg: IcpConfig,
 ):
-    """Point-to-plane: 5-NN plane fit via the smallest-eigenvector of the
-    neighbor scatter (LaserMapping's surface matching, incl. the 0.2 m
-    fit-validity check). LOAM fits ``n·x = −1`` by least squares, which is
-    singular for planes through the target-frame origin; the eigen fit is
-    the same plane without that failure mode.
-
-    Returns (res (Q,1), J (Q,1,6), w (Q,))."""
+    """5-NN plane fits in the surface map at ``pose``: returns
+    (normal (Q,3), offset (Q,), w (Q,)) with plane ``n·x + offset = 0``."""
     p_map = _transform(pose, surfs)
     idx, d2 = knn(p_map, surf_mask, map_surfs, map_mask)
     nn = map_surfs[idx]                                   # (Q, K, 3)
@@ -138,6 +145,22 @@ def plane_correspondences(
     near = d2[:, -1] < cfg.max_corr_dist ** 2
     w = (surf_mask * good_fit.astype(surfs.dtype)
          * planar.astype(surfs.dtype) * near.astype(surfs.dtype))
+    return n, d_off, w
+
+
+def plane_correspondences(
+    pose, surfs, surf_mask, map_surfs, map_mask, cfg: IcpConfig,
+):
+    """Point-to-plane: 5-NN plane fit via the smallest-eigenvector of the
+    neighbor scatter (LaserMapping's surface matching, incl. the 0.2 m
+    fit-validity check). LOAM fits ``n·x = −1`` by least squares, which is
+    singular for planes through the target-frame origin; the eigen fit is
+    the same plane without that failure mode.
+
+    Returns (res (Q,1), J (Q,1,6), w (Q,))."""
+    n, d_off, w = plane_fits(
+        pose, surfs, surf_mask, map_surfs, map_mask, cfg)
+    p_map = _transform(pose, surfs)
 
     res = (jnp.einsum("qi,qi->q", n, p_map) + d_off)[:, None]   # (Q, 1)
     R = lie.quat_to_rot(lie.pose_quat(pose))
@@ -176,6 +199,73 @@ def degeneracy_projected_step(H, g, cfg: IcpConfig):
         * jnp.maximum(jnp.mean(jnp.diagonal(H)), 1.0), g)
     dx_proj = V @ (ok * (V.T @ dx))
     return dx_proj, 1.0 - ok
+
+
+class PerturbationDists(NamedTuple):
+    """The thesis fork's per-DOF perturbation-sweep correspondence distances
+    (OdometryWithHessian dists/dists_surface/dists_corner (6×S) +
+    shift_trans/shift_rot (S), consumed at make_prettier_graphs.py:429-446
+    and special_graphs.py:18-34). Row d = mean correspondence distance after
+    perturbing the solution pose along DOF d (ρx ρy ρz θx θy θz) by each
+    shift; a flat row ⇒ the cost is insensitive to that DOF ⇒ degenerate
+    (the dist_slope metrics, degeneracy_detection_functions.py:269-303)."""
+
+    dists: jnp.ndarray          # (6, S) combined mean distance
+    dists_corner: jnp.ndarray   # (6, S)
+    dists_surface: jnp.ndarray  # (6, S)
+    shift_trans: jnp.ndarray    # (S,)
+    shift_rot: jnp.ndarray      # (S,)
+
+
+def perturbation_dists(
+    pose: jnp.ndarray,
+    corners: jnp.ndarray, corner_mask: jnp.ndarray,
+    surfs: jnp.ndarray, surf_mask: jnp.ndarray,
+    map_corners: jnp.ndarray, map_corner_mask: jnp.ndarray,
+    map_surfs: jnp.ndarray, map_surf_mask: jnp.ndarray,
+    cfg: IcpConfig = IcpConfig(),
+    n_shifts: int = 15,
+    max_shift_trans: float = 0.2,
+    max_shift_rot: float = 0.2,
+) -> PerturbationDists:
+    """Sweep the solution pose along each DOF and record how the matched
+    correspondence distances grow. Correspondences (line/plane fits) are
+    fixed at the solution — only the residual evaluation moves — so the
+    whole 6×S sweep is two small batched matmuls, no KNN re-search. Shift
+    ranges follow the fork's 0..0.2 axis (special_graphs.py:37)."""
+    dtype = pose.dtype
+    centroid, ldir, wl = line_fits(
+        pose, corners, corner_mask, map_corners, map_corner_mask, cfg)
+    nrm, d_off, wp = plane_fits(
+        pose, surfs, surf_mask, map_surfs, map_surf_mask, cfg)
+    nl = jnp.maximum(jnp.sum(wl), 1.0)
+    np_ = jnp.maximum(jnp.sum(wp), 1.0)
+
+    s_t = jnp.linspace(0.0, max_shift_trans, n_shifts).astype(dtype)
+    s_r = jnp.linspace(0.0, max_shift_rot, n_shifts).astype(dtype)
+    mags = jnp.concatenate([
+        jnp.broadcast_to(s_t, (3, n_shifts)),
+        jnp.broadcast_to(s_r, (3, n_shifts))], axis=0)     # (6, S)
+    xi = jnp.eye(6, dtype=dtype)[:, None, :] * mags[:, :, None]  # (6, S, 6)
+    poses = jax.vmap(jax.vmap(lambda v: lie.pose_retract(pose, v)))(xi)
+
+    def eval_at(p):
+        pc = _transform(p, corners)
+        v = pc - centroid
+        perp = v - ldir * jnp.einsum("qi,qi->q", v, ldir)[:, None]
+        dl = jnp.linalg.norm(perp, axis=-1)
+        ps = _transform(p, surfs)
+        dp = jnp.abs(jnp.einsum("qi,qi->q", nrm, ps) + d_off)
+        mc = jnp.sum(wl * dl) / nl
+        ms = jnp.sum(wp * dp) / np_
+        mall = (jnp.sum(wl * dl) + jnp.sum(wp * dp)) / (nl + np_)
+        return mc, ms, mall
+
+    d_c, d_s, d_all = jax.vmap(jax.vmap(eval_at))(poses)   # each (6, S)
+    return PerturbationDists(
+        dists=d_all, dists_corner=d_c, dists_surface=d_s,
+        shift_trans=s_t, shift_rot=s_r,
+    )
 
 
 def register(

@@ -1,14 +1,28 @@
-"""LiDAR odometry pipeline: feature extraction → scan-to-map registration →
-map update — the capability of the reference's LOAM fork
+"""LiDAR odometry pipeline: motion undistortion → feature extraction →
+two-stage registration (scan-to-scan odometry, then scan-to-map refinement)
+→ map update — the capability of the reference's LOAM fork
 (4 nodelets, gtsam_fusion/launch/loam.launch:31-57) as one jit-compiled
 per-sweep step, carried through ``lax.scan`` over a drive.
+
+Stage structure mirrors the fork's launch graph:
+- **undistortion** — ego-motion compensation of the sweep from the motion
+  prior (loam_params.yaml ``scanPeriod``/``undistortInputCloud``).
+- **laser_odometry** — scan-to-scan: the sweep's sharp/flat features
+  registered against the previous sweep's feature pools
+  (odomMaxIterations 25, loam.launch:37-42).
+- **laser_mapping** — scan-to-map: the feature pools registered against the
+  voxel-map submap, initialized at the odometry stage's estimate
+  (mapMaxIterations 10, loam.launch:44-50).
 
 Outputs per sweep exactly what the thesis consumes downstream:
 - the odometry pose,
 - the **6×6 ICP Hessian** (LOAM fork's OptStatus message,
   gtsam_fusion/README.md:27-28) feeding the degeneracy gate,
 - a pose covariance (scaled Hessian inverse) for the fusion back-end
-  (the fork's `feature/publish_covariance` behavior).
+  (the fork's `feature/publish_covariance` behavior),
+- the per-DOF perturbation-sweep correspondence distances
+  (OdometryWithHessian ``dists``/``shift_*``, the dist_slope metrics' input
+  — make_prettier_graphs.py:429-446).
 """
 
 from __future__ import annotations
@@ -21,12 +35,23 @@ import jax.numpy as jnp
 from ...core import lie
 from . import features as feat
 from . import icp as I
+from . import rangeimage as RI
 from . import voxelmap as vm
 from .rangeimage import Sweep
 
 
 class LidarOdomConfig(NamedTuple):
     icp: I.IcpConfig = I.IcpConfig()
+    # Scan-to-scan stage (two_stage mode): looser correspondence radius —
+    # consecutive sweeps are ≤1 period apart — and LOAM's higher iteration
+    # budget (odomMaxIterations 25 vs mapMaxIterations 10; here scaled down
+    # with the same ratio).
+    odom_icp: I.IcpConfig = I.IcpConfig(iters=8, max_corr_dist=2.0,
+                                        degen_eigval=5.0)
+    two_stage: bool = False      # scan-to-scan odometry before mapping
+    undistort: bool = False      # ego-motion compensation (scanPeriod)
+    emit_dists: bool = False     # perturbation-sweep correspondence dists
+    dists_shifts: int = 15       # S of the 6×S dists arrays
     corner_map: vm.VoxelMapConfig = vm.VoxelMapConfig(capacity=8192, leaf=0.2)
     surf_map: vm.VoxelMapConfig = vm.VoxelMapConfig(capacity=16384, leaf=0.4)
     submap_corners: int = 4096
@@ -34,6 +59,9 @@ class LidarOdomConfig(NamedTuple):
     submap_radius: float = 100.0
     # Covariance scale: cov = cost/(n-6) · H⁻¹ (standard GN posterior).
     min_dof: float = 12.0
+    # Sweep grid (for the prev-sweep feature-pool shapes in two_stage mode).
+    rings: int = RI.RINGS
+    azimuth: int = RI.AZIMUTH
 
 
 class LidarOdomState(NamedTuple):
@@ -41,23 +69,49 @@ class LidarOdomState(NamedTuple):
     surf_map: vm.VoxelMap
     pose: jnp.ndarray        # (7,) world_T_sensor of the last sweep
     initialized: jnp.ndarray  # scalar 0/1
+    # Previous sweep's feature pools in WORLD frame (scan-to-scan targets).
+    prev_corners: jnp.ndarray      # (Nc, 3)
+    prev_corner_mask: jnp.ndarray  # (Nc,)
+    prev_surfs: jnp.ndarray        # (Ns, 3)
+    prev_surf_mask: jnp.ndarray    # (Ns,)
 
 
 class LidarOdomResult(NamedTuple):
-    pose: jnp.ndarray        # (7,)
+    pose: jnp.ndarray        # (7,) mapping-stage (final) pose
     hessian: jnp.ndarray     # (6, 6) — the degeneracy signal
     cov: jnp.ndarray         # (6, 6)
     degenerate: jnp.ndarray  # (6,)
     n_corr: jnp.ndarray
     cost: jnp.ndarray
+    # Scan-to-scan stage outputs (== mapping outputs when single-stage).
+    odom_pose: jnp.ndarray     # (7,)
+    odom_hessian: jnp.ndarray  # (6, 6)
+    # Perturbation-sweep correspondence distances (zeros when disabled).
+    dists: I.PerturbationDists
+
+
+def _zero_dists(cfg: LidarOdomConfig, dtype) -> I.PerturbationDists:
+    S = cfg.dists_shifts
+    return I.PerturbationDists(
+        dists=jnp.zeros((6, S), dtype),
+        dists_corner=jnp.zeros((6, S), dtype),
+        dists_surface=jnp.zeros((6, S), dtype),
+        shift_trans=jnp.zeros((S,), dtype),
+        shift_rot=jnp.zeros((S,), dtype),
+    )
 
 
 def init(cfg: LidarOdomConfig, dtype=jnp.float32) -> LidarOdomState:
+    nc, ns = feat.pool_sizes(cfg.rings, cfg.azimuth)
     return LidarOdomState(
         corner_map=vm.empty(cfg.corner_map, dtype),
         surf_map=vm.empty(cfg.surf_map, dtype),
         pose=lie.pose_identity(dtype),
         initialized=jnp.zeros((), dtype),
+        prev_corners=jnp.zeros((nc, 3), dtype),
+        prev_corner_mask=jnp.zeros((nc,), dtype),
+        prev_surfs=jnp.zeros((ns, 3), dtype),
+        prev_surf_mask=jnp.zeros((ns,), dtype),
     )
 
 
@@ -80,8 +134,20 @@ def step(
     positional signature (pose0, q_c, m_c, q_s, m_s, map_c, map_cm, map_s,
     map_sm) → IcpResult — the hook the model-parallel path uses to run the
     normal-equation reduction sharded over points (parallel.ops
-    .make_sharded_lidar_step)."""
+    .make_sharded_lidar_step). Applies to the mapping stage (the heavy one).
+    """
     dtype = state.pose.dtype
+    has_map = state.initialized > 0
+
+    # --- Stage 0: motion undistortion ---------------------------------------
+    if cfg.undistort:
+        # end_T_start of this sweep from the motion prior (constant-velocity
+        # within the sweep): state.pose = previous sweep end, pose_guess =
+        # this sweep end.
+        xi = lie.se3_log(lie.pose_between(pose_guess, state.pose))
+        xi = jnp.where(has_map, xi, jnp.zeros_like(xi))
+        sweep = RI.undistort(sweep, xi)
+
     fs = feat.extract(sweep)
 
     # Query sets: the corner pool and the surface pool (LaserMapping
@@ -90,7 +156,24 @@ def step(
     q_surfs = jnp.concatenate([fs.flat, fs.less_flat], axis=0)
     q_surf_mask = jnp.concatenate([fs.flat_mask, fs.less_flat_mask], axis=0)
 
-    center = lie.pose_trans(pose_guess)
+    # --- Stage 1: scan-to-scan odometry (laser_odometry) --------------------
+    pose_init = pose_guess
+    odom_pose = pose_guess
+    odom_hessian = jnp.zeros((6, 6), dtype)
+    if cfg.two_stage:
+        res_o = I.register(
+            pose_guess,
+            fs.sharp, fs.sharp_mask, fs.flat, fs.flat_mask,
+            state.prev_corners, state.prev_corner_mask,
+            state.prev_surfs, state.prev_surf_mask,
+            cfg.odom_icp,
+        )
+        odom_pose = jnp.where(has_map, res_o.pose, pose_guess)
+        odom_hessian = res_o.hessian
+        pose_init = odom_pose
+
+    # --- Stage 2: scan-to-map refinement (laser_mapping) --------------------
+    center = lie.pose_trans(pose_init)
     sub_c = vm.submap(state.corner_map, center, cfg.submap_corners,
                       cfg.submap_radius)
     sub_s = vm.submap(state.surf_map, center, cfg.submap_surfs,
@@ -101,13 +184,15 @@ def step(
             return I.register(*a, cfg.icp)
 
     res = register_fn(
-        pose_guess,
+        pose_init,
         q_corners, q_corner_mask, q_surfs, q_surf_mask,
         sub_c.points, sub_c.mask, sub_s.points, sub_s.mask,
     )
     # First sweep: no map yet — keep the guess.
-    has_map = state.initialized > 0
     pose = jnp.where(has_map, res.pose, pose_guess)
+    if not cfg.two_stage:
+        odom_pose = pose
+        odom_hessian = res.hessian
 
     # Covariance: σ² H⁻¹ with σ² = cost / max(n_corr − 6, min_dof); on the
     # first sweep (no registration) fall back to a weak identity.
@@ -119,19 +204,33 @@ def step(
                     sigma2 * jnp.linalg.inv(H_reg),
                     eye6 * 1e2)
 
-    # Map update: insert the sweep's features at the refined pose.
-    cm = vm.insert(state.corner_map, _to_world(pose, q_corners),
+    # --- Perturbation-sweep correspondence distances ------------------------
+    if cfg.emit_dists:
+        dists = I.perturbation_dists(
+            pose, q_corners, q_corner_mask, q_surfs, q_surf_mask,
+            sub_c.points, sub_c.mask, sub_s.points, sub_s.mask,
+            cfg.icp, n_shifts=cfg.dists_shifts)
+    else:
+        dists = _zero_dists(cfg, dtype)
+
+    # --- Map + prev-sweep pool update ---------------------------------------
+    w_corners = _to_world(pose, q_corners)
+    w_surfs = _to_world(pose, q_surfs)
+    cm = vm.insert(state.corner_map, w_corners,
                    q_corner_mask, lie.pose_trans(pose), cfg.corner_map)
-    sm = vm.insert(state.surf_map, _to_world(pose, q_surfs),
+    sm = vm.insert(state.surf_map, w_surfs,
                    q_surf_mask, lie.pose_trans(pose), cfg.surf_map)
 
     new_state = LidarOdomState(
         corner_map=cm, surf_map=sm, pose=pose,
         initialized=jnp.ones((), dtype),
+        prev_corners=w_corners, prev_corner_mask=q_corner_mask,
+        prev_surfs=w_surfs, prev_surf_mask=q_surf_mask,
     )
     return new_state, LidarOdomResult(
         pose=pose, hessian=res.hessian, cov=cov,
         degenerate=res.degenerate, n_corr=res.n_corr, cost=res.cost,
+        odom_pose=odom_pose, odom_hessian=odom_hessian, dists=dists,
     )
 
 
