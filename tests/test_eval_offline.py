@@ -61,3 +61,67 @@ class TestPlots:
             degen_windows=[(3, 5)], path=str(tmp_path / "e.png"))
         for f in ["m.png", "r.png", "e.png"]:
             assert (tmp_path / f).stat().st_size > 1000
+
+
+class TestUmeyamaAte:
+    def test_alignment_recovers_rigid_gauge(self):
+        """A gauge-transformed copy of a trajectory has zero aligned ATE —
+        the gauge-free comparison reference-parity ATE needs (evo/TUM
+        convention; the reference hand-anchors frames instead,
+        carla_frame_transforms.py:32-86)."""
+        import jax
+        from vil_sensor_fusion_tpu import eval as ev
+        from vil_sensor_fusion_tpu.core import lie
+
+        rng = np.random.default_rng(0)
+        t = jnp.asarray(rng.standard_normal((40, 3)) * 5.0)
+        q = jnp.broadcast_to(lie.quat_identity(t.dtype), (40, 4))
+        gt = jnp.concatenate([q, t], axis=-1)
+        # Arbitrary rigid gauge: rotate + translate the whole trajectory.
+        g = lie.pose_make(
+            lie.so3_exp_quat(jnp.array([0.3, -0.2, 1.1], t.dtype)),
+            jnp.array([10.0, -4.0, 2.0], t.dtype))
+        est = jax.vmap(lambda p: lie.pose_compose(g, p))(gt)
+
+        raw = float(ev.ate_rmse(est, gt))
+        aligned = float(ev.ate_rmse(est, gt, align=True))
+        assert raw > 1.0
+        assert aligned < 1e-4
+
+    def test_alignment_preserves_real_error(self):
+        from vil_sensor_fusion_tpu import eval as ev
+        from vil_sensor_fusion_tpu.core import lie
+
+        rng = np.random.default_rng(1)
+        t = jnp.asarray(rng.standard_normal((60, 3)) * 5.0)
+        q = jnp.broadcast_to(lie.quat_identity(t.dtype), (60, 4))
+        gt = jnp.concatenate([q, t], axis=-1)
+        noise = jnp.asarray(rng.standard_normal((60, 3)) * 0.1)
+        est = jnp.concatenate([q, t + noise], axis=-1)
+        aligned = float(ev.ate_rmse(est, gt, align=True))
+        # Alignment cannot hide genuine per-pose noise.
+        assert 0.03 < aligned < 0.2
+
+
+class TestCorrelationSources:
+    def test_source_sweep_finds_planted_source(self):
+        """The reference enumerates matrix sources (pose cov / twist cov /
+        Hessian — find_correlations.py:94-138). Plant a correlated signal in
+        ONE source's d-opt and verify the sweep attributes it there."""
+        from vil_sensor_fusion_tpu import eval as ev
+
+        rng = np.random.default_rng(2)
+        T = 80
+        sig = rng.uniform(1.0, 3.0, T)
+        # hessian: log-det follows `sig`; covariances: constant.
+        hess = jnp.asarray(
+            np.exp(sig)[:, None, None] * np.eye(6)[None], jnp.float64)
+        cov = jnp.broadcast_to(jnp.eye(6, dtype=jnp.float64), (T, 6, 6))
+        res = ev.correlation_search_sources(
+            ["d_opt"],
+            {"hessian": hess, "pose_cov": cov},
+            {"err": sig},
+            top_k=5,
+        )
+        assert res[0].source == "hessian"
+        assert abs(res[0].pearson_r) > 0.95

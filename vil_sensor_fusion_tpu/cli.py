@@ -232,6 +232,15 @@ def cmd_fuse_bag(args):
                       "t_range": [float(res[0, 0]), float(res[-1, 0])]}))
 
 
+def cmd_experiments(args):
+    from .eval import experiments as EX
+
+    specs = EX.default_grid(seeds=tuple(range(args.seeds)),
+                            duration=args.duration)
+    summaries = EX.run_and_report(specs, args.cache_dir, args.report_dir)
+    print(json.dumps(summaries, indent=2))
+
+
 def cmd_bench(args):
     import runpy
     from pathlib import Path
@@ -277,6 +286,17 @@ def main(argv=None):
 
     pb = sub.add_parser("bench", help="per-chip throughput benchmark")
     pb.set_defaults(fn=cmd_bench)
+
+    pe = sub.add_parser(
+        "experiments",
+        help="batch {town,corridor,tunnel} x seeds grid with cached "
+             "results and per-run reports (auto_experiments +"
+             " make_prettier_graphs capability)")
+    pe.add_argument("--seeds", type=int, default=2)
+    pe.add_argument("--duration", type=float, default=3.0)
+    pe.add_argument("--cache-dir", default="experiment_cache")
+    pe.add_argument("--report-dir", default="experiment_reports")
+    pe.set_defaults(fn=cmd_experiments)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -27,6 +27,7 @@ class CorrelationResult(NamedTuple):
     transform: str      # raw / log / diff / log_diff
     error_signal: str
     pearson_r: float
+    source: str = "mats"  # matrix source (hessian / pose_cov / twist_cov)
 
 
 def _transforms(x: jnp.ndarray) -> Mapping[str, jnp.ndarray]:
@@ -57,8 +58,12 @@ def search(
     error_signals: Mapping[str, np.ndarray],  # name -> (T,)
     poses: jnp.ndarray | None = None,
     top_k: int = 20,
+    source: str = "mats",
 ) -> list[CorrelationResult]:
-    """Returns the |r|-strongest (metric, block, transform, error) combos."""
+    """Returns the |r|-strongest (metric, block, transform, error) combos
+    for ONE matrix source. Use :func:`search_sources` to sweep sources the
+    way the reference enumerates pose-cov/twist-cov/Hessian matrices
+    (find_correlations.py:94-138)."""
     scores = DG.score_series(metric_names, mats, poses)
     out = []
     for name, sc in scores.items():
@@ -72,6 +77,27 @@ def search(
                     if np.isfinite(r):
                         out.append(CorrelationResult(
                             metric=name, block=block, transform=tname,
-                            error_signal=ename, pearson_r=r))
+                            error_signal=ename, pearson_r=r,
+                            source=source))
+    out.sort(key=lambda c: -abs(c.pearson_r))
+    return out[:top_k]
+
+
+def search_sources(
+    metric_names: Sequence[str],
+    sources: Mapping[str, jnp.ndarray],       # name -> (T, 6, 6) series
+    error_signals: Mapping[str, np.ndarray],
+    poses: jnp.ndarray | None = None,
+    top_k: int = 20,
+) -> list[CorrelationResult]:
+    """The full reference grid: every (matrix source × metric × sub-block ×
+    transform) against every error signal — find_correlations.py's outer
+    loop over pose-covariance / twist-covariance / Hessian matrices
+    (:94-138), vectorized per source."""
+    out = []
+    for sname, mats in sources.items():
+        out.extend(search(metric_names, mats, error_signals, poses=poses,
+                          top_k=len(metric_names) * 12 * len(error_signals),
+                          source=sname))
     out.sort(key=lambda c: -abs(c.pearson_r))
     return out[:top_k]

@@ -89,10 +89,53 @@ def diagnostics(
     )
 
 
-def ate_rmse(est_poses: jnp.ndarray, gt_poses: jnp.ndarray) -> jnp.ndarray:
+def umeyama_alignment(
+    est_t: jnp.ndarray,     # (T, 3) estimated translations
+    gt_t: jnp.ndarray,      # (T, 3) ground-truth translations
+    with_scale: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Closed-form SE(3) (optionally Sim(3)) alignment est → gt (Umeyama
+    1991): returns (R (3,3), t (3,), s scalar) minimizing
+    Σ‖gt − (s·R·est + t)‖². The gauge-freedom fix every odometry-vs-GT
+    comparison needs — the reference anchors frames by hand instead
+    (carla_frame_transforms.py:32-86); this is the principled equivalent."""
+    dtype = est_t.dtype
+    mu_e = jnp.mean(est_t, axis=0)
+    mu_g = jnp.mean(gt_t, axis=0)
+    xe = est_t - mu_e
+    xg = gt_t - mu_g
+    # precision='highest': TPU matmuls default to bf16 inputs, which turns
+    # a ~1e-6 alignment residual into ~0.4 % of the trajectory scale.
+    cov = jnp.matmul(xg.T, xe, precision="highest") / est_t.shape[0]
+    U, d, Vt = jnp.linalg.svd(cov)
+    s_fix = jnp.where(jnp.linalg.det(U) * jnp.linalg.det(Vt) < 0,
+                      jnp.asarray(-1.0, dtype), jnp.asarray(1.0, dtype))
+    S = jnp.diag(jnp.array([1.0, 1.0, 1.0], dtype)).at[2, 2].set(s_fix)
+    R = U @ S @ Vt
+    if with_scale:
+        var_e = jnp.mean(jnp.sum(xe * xe, axis=-1))
+        s = jnp.sum(d * jnp.diagonal(S)) / jnp.maximum(var_e, 1e-12)
+    else:
+        s = jnp.ones((), dtype)
+    t = mu_g - s * (R @ mu_e)
+    return R, t, s
+
+
+def ate_rmse(est_poses: jnp.ndarray, gt_poses: jnp.ndarray,
+             align: bool = False) -> jnp.ndarray:
     """Absolute trajectory error RMSE (translation) — the headline metric
-    (BASELINE.json: 'ATE RMSE on Carla bags')."""
-    err = lie.pose_trans(est_poses) - lie.pose_trans(gt_poses)
+    (BASELINE.json: 'ATE RMSE on Carla bags').
+
+    ``align``: Umeyama SE(3)-align the estimate to GT first — required
+    whenever the estimator's world frame is gauge-free (pure odometry with
+    arbitrary anchoring), the convention standard ATE tooling (evo/TUM)
+    uses."""
+    est_t = lie.pose_trans(est_poses)
+    gt_t = lie.pose_trans(gt_poses)
+    if align:
+        R, t, s = umeyama_alignment(est_t, gt_t)
+        est_t = s * jnp.matmul(est_t, R.T, precision="highest") + t
+    err = est_t - gt_t
     return jnp.sqrt(jnp.mean(jnp.sum(err * err, axis=-1)))
 
 

@@ -1,0 +1,244 @@
+"""Batch experiment harness: the product replacement for the reference's
+experiment pipeline — carla_tools/scripts/auto_experiments.py:52-99 (map ×
+vehicle sweep → record bag), vil_fusion/python/quick_autoexperiments.py:37-73
+(replay bags through the stack), and make_prettier_graphs.py's cached
+numpification + per-bag report figures (:477-535, :736-765, :787-1149).
+
+One call runs a {scenario × seed} grid through the FULL VIL system, caches
+each run's result arrays on disk keyed by the experiment spec (the
+reference pickles numpified bags for the same reason), and emits a per-run
+report: error-over-time (LiDAR vs VIO vs fused), degeneracy-metric series
+over the labeled windows, ROC curves + AUC table (including the dist_slope
+metrics when the pipeline emits dists).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+from typing import Mapping, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentSpec:
+    """One experiment cell (scenario kind × seed × duration × knobs)."""
+
+    kind: str = "town"          # town / corridor / tunnel
+    duration: float = 3.0
+    seed: int = 0
+    two_stage: bool = True
+    undistort: bool = True
+    emit_dists: bool = True
+    distort_sweeps: bool = True
+    icp_iters: int = 6
+    degen_eigval: float = 5.0
+    trans_threshold: float = -5.0
+
+    def key(self) -> str:
+        blob = json.dumps(dataclasses.asdict(self), sort_keys=True)
+        return (f"{self.kind}_d{self.duration:g}_s{self.seed}_"
+                + hashlib.sha1(blob.encode()).hexdigest()[:10])
+
+
+def default_grid(seeds: Sequence[int] = (0, 1),
+                 duration: float = 3.0) -> list[ExperimentSpec]:
+    """The thesis's evaluation set: well-conditioned town drives plus the
+    degenerate corridor and tunnel bags (labeled windows —
+    make_prettier_graphs.py:46-120)."""
+    return [ExperimentSpec(kind=k, duration=duration, seed=s)
+            for k in ("town", "corridor", "tunnel") for s in seeds]
+
+
+def _run(spec: ExperimentSpec) -> dict:
+    """Execute one experiment: scenario → full VIL → numpified results."""
+    from .. import fusion as fu
+    from .. import graph as G
+    from ..core import lie
+    from ..data import scenarios
+    from ..degeneracy import gate as DG
+    from ..degeneracy import metrics as M
+    from ..frontends import lidar as L
+    from ..frontends import vio as V
+    from ..fusion import vil
+    from . import diagnostics as DIAG
+
+    dtype = jnp.float32
+    vio_cfg = V.VioConfig(num_landmarks=24, update_iters=2)
+    sc = scenarios.build(spec.kind, duration=spec.duration,
+                         vio_cfg=vio_cfg, dtype=dtype, seed=spec.seed,
+                         distort_sweeps=spec.distort_sweeps)
+    cfg = vil.VilConfig(
+        vio=vio_cfg,
+        lidar=L.LidarOdomConfig(
+            icp=L.IcpConfig(iters=spec.icp_iters,
+                            degen_eigval=spec.degen_eigval),
+            two_stage=spec.two_stage, undistort=spec.undistort,
+            emit_dists=spec.emit_dists),
+        gate=DG.GateConfig(rot_threshold=-1e9,
+                           trans_threshold=spec.trans_threshold,
+                           normalize_per_corr=True),
+        fusion=fu.FusionConfig(
+            smoother=G.SmootherConfig(window=6, between_slots=12,
+                                      gn_iters=4),
+            sensors=vil.VilConfig().fusion.sensors, max_imu_per_gap=32),
+    )
+    t0 = jnp.zeros((), dtype)
+    pose0 = sc.traj.pose_fn(t0)
+    vel0 = sc.traj.vel_fn(t0)
+    es, res = vil.run_vil(
+        cfg, sc.imu_times, sc.imu_accel, sc.imu_gyro,
+        sc.vio_times, sc.vio_frames,
+        V.init(cfg.vio, pose0, vel0, jnp.zeros(6, dtype)),
+        sc.lidar_times, sc.sweeps, L.odometry.init(cfg.lidar, dtype),
+        lidar_guess_from_vio_idx=sc.lidar_guess_idx,
+        engine_state=fu.init(cfg.fusion, pose0, vel0, jnp.zeros(6, dtype),
+                             t0),
+    )
+
+    # Per-estimator diagnostics vs GT (the DiagnosticMessage streams).
+    gt_fused = np.asarray(jax.vmap(sc.traj.pose_fn)(res.timeline.times))
+    diag_fused = DIAG.diagnostics(res.timeline.times, res.fused.poses,
+                                  jnp.asarray(gt_fused, dtype))
+    diag_vio = DIAG.diagnostics(
+        jnp.asarray(sc.vio_times, dtype), res.vio_out.pose,
+        jnp.asarray(sc.gt_vio_poses, dtype))
+    diag_lidar = DIAG.diagnostics(
+        jnp.asarray(sc.lidar_times, dtype), res.lidar_out.pose,
+        jnp.asarray(sc.gt_lidar_poses, dtype))
+
+    # Degeneracy-metric scores on the Hessian series (the score node's
+    # output) + the dist_slope metrics when dists were emitted.
+    metric_names = ("d_opt", "a_opt", "e_opt", "condition_number")
+    series = DG.score_series(metric_names, res.lidar_out.hessian)
+    scores = {n: np.asarray(s.score_trans) for n, s in series.items()}
+    scores["gate_trans_logdet"] = np.asarray(res.gate.trans_d_opt)
+    if spec.emit_dists:
+        d = res.lidar_out.dists
+        slopes = M.dist_slopes_6dof(
+            d.dists, d.shift_trans[0], d.shift_rot[0])   # (T, 6)
+        scores["dist_slope_tx"] = np.asarray(slopes[:, 0])
+
+    out = {
+        "spec": dataclasses.asdict(spec),
+        "events": int(res.timeline.times.shape[0]),
+        "ate_fused": float(DIAG.ate_rmse(res.fused.poses,
+                                         jnp.asarray(gt_fused, dtype))),
+        "ate_vio": float(DIAG.ate_rmse(res.vio_out.pose,
+                                       jnp.asarray(sc.gt_vio_poses,
+                                                   dtype))),
+        "ate_lidar": float(DIAG.ate_rmse(res.lidar_out.pose,
+                                         jnp.asarray(sc.gt_lidar_poses,
+                                                     dtype))),
+        "gate_keep_fraction": float(np.mean(np.asarray(res.gate.keep))),
+        "degen_windows": [list(w) for w in sc.degen_windows],
+        "lidar_times": np.asarray(sc.lidar_times),
+        "vio_times": np.asarray(sc.vio_times),
+        "fused_times": np.asarray(res.timeline.times),
+        "err_fused": np.asarray(diag_fused.abs_dist_err),
+        "err_vio": np.asarray(diag_vio.abs_dist_err),
+        "err_lidar": np.asarray(diag_lidar.abs_dist_err),
+        "scores": scores,
+        "hessian": np.asarray(res.lidar_out.hessian),
+    }
+    return out
+
+
+def run_experiment(spec: ExperimentSpec, cache_dir: str) -> dict:
+    """Run (or load from cache) one experiment. Caching mirrors the
+    reference's numpified-bag pickles (make_prettier_graphs.py:736-765) —
+    re-running a report never re-executes the stack."""
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, spec.key() + ".npz")
+    if os.path.exists(path):
+        with np.load(path, allow_pickle=True) as z:
+            def un(a):
+                if a.dtype == object:
+                    return a.item() if a.ndim == 0 else [list(w)
+                                                         for w in a]
+                return a
+            return {k: un(z[k]) for k in z.files}
+    out = _run(spec)
+    flat = dict(out)
+    # npz-friendly: store dicts as object scalars.
+    flat["spec"] = np.array(out["spec"], dtype=object)
+    flat["scores"] = np.array(out["scores"], dtype=object)
+    flat["degen_windows"] = np.array(out["degen_windows"], dtype=object)
+    np.savez_compressed(path, **flat)
+    return out
+
+
+def run_batch(specs: Sequence[ExperimentSpec], cache_dir: str) -> list[dict]:
+    return [run_experiment(s, cache_dir) for s in specs]
+
+
+def report(result: Mapping, out_dir: str) -> dict:
+    """Per-run report figures + AUC table — the thesis figure set
+    (make_prettier_graphs.py plot_all_rocs/plot_err_over_time capability).
+    Returns the summary dict (also written as report.json)."""
+    from . import plots as P
+    from . import roc as R
+
+    os.makedirs(out_dir, exist_ok=True)
+    spec = dict(result["spec"]) if not isinstance(result["spec"], dict) \
+        else result["spec"]
+    windows = [tuple(w) for w in list(result["degen_windows"])]
+    lt = np.asarray(result["lidar_times"])
+    scores = dict(result["scores"]) if not isinstance(result["scores"],
+                                                      dict) \
+        else result["scores"]
+
+    P.plot_error_over_time(
+        {"lidar": (result["lidar_times"], result["err_lidar"]),
+         "vio": (result["vio_times"], result["err_vio"]),
+         "fused": (result["fused_times"], result["err_fused"])},
+        degen_windows=windows,
+        title=f"{spec['kind']} seed {spec['seed']}",
+        path=os.path.join(out_dir, "error_over_time.png"))
+    P.plot_metric_over_time(
+        lt, scores, degen_windows=windows,
+        title="degeneracy metrics",
+        path=os.path.join(out_dir, "metrics_over_time.png"))
+
+    aucs = {}
+    if windows:
+        labels = R.label_windows(jnp.asarray(lt), windows)
+        if bool(labels.any()) and not bool(labels.all()):
+            curves = {}
+            for name, s in scores.items():
+                c = R.roc(labels, jnp.asarray(np.asarray(s)))
+                curves[name] = c
+                aucs[name] = float(c.auc)
+            P.plot_rocs(curves, title="detector ROC",
+                        path=os.path.join(out_dir, "roc.png"))
+
+    summary = {
+        "spec": spec,
+        "ate_fused": float(result["ate_fused"]),
+        "ate_vio": float(result["ate_vio"]),
+        "ate_lidar": float(result["ate_lidar"]),
+        "gate_keep_fraction": float(result["gate_keep_fraction"]),
+        "auc": aucs,
+    }
+    with open(os.path.join(out_dir, "report.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary
+
+
+def run_and_report(specs: Sequence[ExperimentSpec], cache_dir: str,
+                   report_dir: str) -> list[dict]:
+    """The one-command batch: run (cached) every spec and emit its report;
+    returns the summary list (also written as summary.json)."""
+    summaries = []
+    for spec in specs:
+        res = run_experiment(spec, cache_dir)
+        summaries.append(report(
+            res, os.path.join(report_dir, spec.key())))
+    with open(os.path.join(report_dir, "summary.json"), "w") as f:
+        json.dump(summaries, f, indent=2)
+    return summaries

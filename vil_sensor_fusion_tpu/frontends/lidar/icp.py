@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from ...core import lie
+from ...ops import eig3 as E3
+from ...ops import eig6 as E6
 
 KNN_K = 5
 QUERY_CHUNK = 128
@@ -88,7 +90,9 @@ def line_fits(
     centroid = jnp.mean(nn, axis=1)                       # (Q, 3)
     dc = nn - centroid[:, None, :]
     cov = jnp.einsum("qki,qkj->qij", dc, dc) / KNN_K
-    eigval, eigvec = jnp.linalg.eigh(cov)                 # ascending
+    # Closed-form batched 3x3 eig (ops/eig3): jnp.linalg.eigh's iterative
+    # lowering is ~3x slower on TPU for these tiny-matrix batches.
+    eigval, eigvec = E3.eigh3(cov)                        # ascending
     d = eigvec[..., -1]                                   # line direction
     is_line = eigval[..., -1] > cfg.line_eig_ratio * eigval[..., -2]
     near = d2[:, -1] < cfg.max_corr_dist ** 2             # worst NN in radius
@@ -131,7 +135,7 @@ def plane_fits(
     centroid = jnp.mean(nn, axis=1)
     dc = nn - centroid[:, None, :]
     cov = jnp.einsum("qki,qkj->qij", dc, dc) / KNN_K
-    eigval, eigvec = jnp.linalg.eigh(cov)                 # ascending
+    eigval, eigvec = E3.eigh3(cov)                        # ascending
     n = eigvec[..., 0]                                    # smallest → normal
     d_off = -jnp.einsum("qi,qi->q", n, centroid)          # plane: n·x + d = 0
     # Fit validity: every neighbor within plane_fit_tol of the plane, AND a
@@ -192,12 +196,13 @@ def degeneracy_projected_step(H, g, cfg: IcpConfig):
     well-conditioned subspace (Zhang & Singh's solveDegeneracy; thresholds
     odomDegenEigVal/mapDegenEigVal in loam_params.yaml)."""
     dtype = H.dtype
-    eigval, V = jnp.linalg.eigh(H)
+    # Fixed-sweep Jacobi (ops/eig6): a single 6x6 jnp.linalg.eigh/solve
+    # costs ~2.5 ms EACH on TPU — they dominated the whole GN loop. The
+    # damped projected step is one matmul chain in the eigenbasis.
+    eigval, V = E6.jacobi_eigh(H)
     ok = (eigval > cfg.degen_eigval).astype(dtype)
-    dx = -jnp.linalg.solve(
-        H + cfg.damping * jnp.eye(6, dtype=dtype)
-        * jnp.maximum(jnp.mean(jnp.diagonal(H)), 1.0), g)
-    dx_proj = V @ (ok * (V.T @ dx))
+    damping = cfg.damping * jnp.maximum(jnp.mean(jnp.diagonal(H)), 1.0)
+    dx_proj = -E6.eig_solve(eigval, V, g, damping=damping, keep=ok)
     return dx_proj, 1.0 - ok
 
 

@@ -199,10 +199,13 @@ def step(
     dof = jnp.maximum(res.n_corr - 6.0, cfg.min_dof)
     sigma2 = jnp.where(has_map, res.cost / dof, 1.0)
     eye6 = jnp.eye(6, dtype=dtype)
-    H_reg = res.hessian + 1e-6 * eye6
-    cov = jnp.where(has_map,
-                    sigma2 * jnp.linalg.inv(H_reg),
-                    eye6 * 1e2)
+    # H^-1 via fixed-sweep Jacobi (jnp.linalg.inv on one 6x6 is ~2.5 ms on
+    # TPU; see ops/eig6).
+    from ...ops import eig6 as E6
+    w6, V6 = E6.jacobi_eigh(res.hessian + 1e-6 * eye6)
+    w6 = jnp.maximum(w6, 1e-8)
+    H_inv = jnp.einsum("ij,j,kj->ik", V6, 1.0 / w6, V6)
+    cov = jnp.where(has_map, sigma2 * H_inv, eye6 * 1e2)
 
     # --- Perturbation-sweep correspondence distances ------------------------
     if cfg.emit_dists:

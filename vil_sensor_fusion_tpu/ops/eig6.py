@@ -1,0 +1,89 @@
+"""Fixed-sweep cyclic Jacobi eigendecomposition for small symmetric
+matrices (the 6×6 ICP Hessians).
+
+``jnp.linalg.eigh`` / ``jnp.linalg.solve`` on a SINGLE 6×6 cost ~2.5 ms
+each on TPU (measured, v5e) — they lower to general LAPACK-style routines
+with sequential control flow the TPU hates. The GN registration loop calls
+both every iteration (degeneracy_projected_step), so they dominated the
+whole LiDAR stage. Cyclic Jacobi with a fixed sweep count is branch-free,
+fully unrolled, vectorizes over any batch, and for 6×6 converges to f32
+machine precision in ≤6 sweeps (off-diagonal decays quadratically).
+
+This also replaces the damped solve: with H = V Λ Vᵀ, the damped projected
+GN step is one matmul chain in the eigenbasis (see icp.py), eliminating
+``jnp.linalg.solve`` from the hot loop entirely.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def jacobi_eigh(A: jnp.ndarray, sweeps: int = 6):
+    """Eigendecomposition of symmetric (..., n, n), n small & static.
+
+    Returns (eigenvalues ascending (..., n), eigenvectors (..., n, n),
+    columns matching ``jnp.linalg.eigh``'s convention). Fully unrolled
+    n(n−1)/2 rotations per sweep — for n=6, ``sweeps=6`` reaches ~1e-7
+    relative off-diagonal mass.
+    """
+    dtype = A.dtype
+    n = A.shape[-1]
+    V = jnp.broadcast_to(jnp.eye(n, dtype=dtype), A.shape)
+    eps = jnp.asarray(1e-30, dtype)
+
+    for _ in range(sweeps):
+        for p in range(n - 1):
+            for q in range(p + 1, n):
+                apq = A[..., p, q]
+                app = A[..., p, p]
+                aqq = A[..., q, q]
+                # Stable rotation: t = sign(θ)/(|θ|+sqrt(θ²+1)),
+                # θ = (aqq−app)/(2 apq); c = 1/sqrt(t²+1), s = t·c.
+                theta = (aqq - app) / (2.0 * jnp.where(
+                    jnp.abs(apq) < eps, eps, apq))
+                t = jnp.sign(theta) / (jnp.abs(theta)
+                                       + jnp.sqrt(theta * theta + 1.0))
+                t = jnp.where(jnp.abs(apq) < eps, 0.0, t)
+                c = 1.0 / jnp.sqrt(t * t + 1.0)
+                s = t * c
+
+                # Apply G(p,q,θ)ᵀ A G(p,q,θ) — touch rows/cols p,q only.
+                rp = A[..., p, :]
+                rq = A[..., q, :]
+                A = A.at[..., p, :].set(c[..., None] * rp
+                                        - s[..., None] * rq)
+                A = A.at[..., q, :].set(s[..., None] * rp
+                                        + c[..., None] * rq)
+                cp = A[..., :, p]
+                cq = A[..., :, q]
+                A = A.at[..., :, p].set(c[..., None] * cp
+                                        - s[..., None] * cq)
+                A = A.at[..., :, q].set(s[..., None] * cp
+                                        + c[..., None] * cq)
+                vp = V[..., :, p]
+                vq = V[..., :, q]
+                V = V.at[..., :, p].set(c[..., None] * vp
+                                        - s[..., None] * vq)
+                V = V.at[..., :, q].set(s[..., None] * vp
+                                        + c[..., None] * vq)
+
+    w = jnp.diagonal(A, axis1=-2, axis2=-1)
+    order = jnp.argsort(w, axis=-1)
+    w_sorted = jnp.take_along_axis(w, order, axis=-1)
+    V_sorted = jnp.take_along_axis(
+        V, order[..., None, :], axis=-1)
+    return w_sorted, V_sorted
+
+
+def eig_solve(w: jnp.ndarray, V: jnp.ndarray, g: jnp.ndarray,
+              damping: jnp.ndarray | float = 0.0,
+              keep: jnp.ndarray | None = None) -> jnp.ndarray:
+    """x = V diag(keep/(w+damping)) Vᵀ g — the damped (optionally
+    eigen-projected) solve of H x = g given H's eigendecomposition. With
+    ``keep`` a 0/1 mask this is LOAM's solveDegeneracy in one matmul
+    chain."""
+    coeff = 1.0 / (w + damping)
+    if keep is not None:
+        coeff = coeff * keep
+    return jnp.einsum("...ij,...j,...kj,...k->...i", V, coeff, V, g)
