@@ -125,3 +125,30 @@ class TestCorrelationSources:
         )
         assert res[0].source == "hessian"
         assert abs(res[0].pearson_r) > 0.95
+
+
+class TestFrameAnchor:
+    def test_anchor_first_pose_matches_reference_semantics(self):
+        """carla_frame_transforms.py:32-86 capability: linking the
+        estimator's world frame to GT at the initial pose. After anchoring,
+        the first pose matches GT exactly and a rigidly-offset trajectory
+        becomes identical to GT."""
+        import jax
+        from vil_sensor_fusion_tpu import eval as ev
+        from vil_sensor_fusion_tpu.core import lie
+
+        rng = np.random.default_rng(3)
+        t = jnp.asarray(np.cumsum(rng.standard_normal((20, 3)), axis=0))
+        q = jax.vmap(lambda v: lie.so3_exp_quat(v * 0.1))(
+            jnp.asarray(rng.standard_normal((20, 3))))
+        gt = jax.vmap(lie.pose_make)(q, t)
+        g = lie.pose_make(
+            lie.so3_exp_quat(jnp.array([0.1, -0.7, 0.4])),
+            jnp.array([5.0, 1.0, -2.0]))
+        est = jax.vmap(lambda p: lie.pose_compose(g, p))(gt)
+
+        anchored = ev.anchor_first_pose(est, gt)
+        np.testing.assert_allclose(np.asarray(anchored),
+                                   np.asarray(gt), atol=1e-9)
+        ate = float(ev.ate_rmse(anchored, gt))
+        assert ate < 1e-9

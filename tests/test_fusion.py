@@ -231,3 +231,99 @@ class TestRoc:
         table = ev.auc_table(scores, labels)
         assert table["good"] > 0.9
         assert table["bad"] < 0.1
+
+
+class TestHealthGuard:
+    def test_nan_event_rejected_state_survives(self):
+        """Elastic recovery inside the engine (utils.health wired into
+        step): an event carrying a NaN odometry pose must not contaminate
+        the running state — the event is rejected (healthy=0) and fusion
+        continues tracking."""
+        cfg = _config()
+        traj = syn.circle(radius=10.0, period=10.0)
+        imu, vio, lid = _streams(traj)
+        vio_p = np.asarray(vio.poses).copy()
+        vio_p[20] = np.nan                       # poison one measurement
+        tl = fu.merge_timeline([
+            (np.asarray(vio.times), vio_p, np.asarray(vio.cov),
+             np.ones(len(vio.times))),
+            (np.asarray(lid.times), np.asarray(lid.poses),
+             np.asarray(lid.cov), np.ones(len(lid.times))),
+        ])
+        t0 = jnp.zeros((), DTYPE)
+        es = fu.init(cfg, traj.pose_fn(t0), traj.vel_fn(t0),
+                     jnp.zeros(6, DTYPE), t0)
+        es, out = jax.jit(lambda es, tl: fu.run(
+            cfg, es, tl, imu.times, imu.accel, imu.gyro))(es, tl)
+
+        h = np.asarray(out.healthy)
+        assert h.min() == 0.0, "the poisoned event was not flagged"
+        assert h.mean() > 0.9, h.mean()
+        # Every reported pose stays finite and the trajectory still tracks.
+        assert np.isfinite(np.asarray(out.poses)).all()
+        gt = syn.sample_ground_truth(traj, tl.times)
+        ate = float(ev.ate_rmse(out.poses, gt.poses))
+        assert ate < 0.1, ate
+
+    def test_guard_off_propagates_nan(self):
+        """Sanity: with guard_health=False the same poison produces NaNs —
+        proving the guard is what saves the run above."""
+        cfg = _config()._replace(guard_health=False)
+        traj = syn.circle(radius=10.0, period=10.0)
+        imu, vio, lid = _streams(traj)
+        vio_p = np.asarray(vio.poses).copy()
+        vio_p[20] = np.nan
+        tl = fu.merge_timeline([
+            (np.asarray(vio.times), vio_p, np.asarray(vio.cov),
+             np.ones(len(vio.times))),
+        ])
+        t0 = jnp.zeros((), DTYPE)
+        es = fu.init(cfg, traj.pose_fn(t0), traj.vel_fn(t0),
+                     jnp.zeros(6, DTYPE), t0)
+        es, out = jax.jit(lambda es, tl: fu.run(
+            cfg, es, tl, imu.times, imu.accel, imu.gyro))(es, tl)
+        assert not np.isfinite(np.asarray(out.poses)).all()
+
+
+class TestCheckpointResume:
+    def test_killed_and_resumed_run_matches_uninterrupted(self, tmp_path):
+        """Checkpoint/resume wired end-to-end: process half the timeline,
+        save the engine state (utils.checkpoint), restore into a fresh
+        template, process the rest — outputs identical to the uninterrupted
+        run (SURVEY.md §5: the reference has no estimator checkpointing)."""
+        import os
+        from vil_sensor_fusion_tpu import utils as U
+
+        cfg = _config()
+        traj = syn.circle(radius=10.0, period=10.0)
+        imu, vio, lid = _streams(traj)
+        tl = fu.merge_timeline([
+            (np.asarray(vio.times), np.asarray(vio.poses),
+             np.asarray(vio.cov), np.ones(len(vio.times))),
+            (np.asarray(lid.times), np.asarray(lid.poses),
+             np.asarray(lid.cov), np.ones(len(lid.times))),
+        ])
+        t0 = jnp.zeros((), DTYPE)
+        es0 = fu.init(cfg, traj.pose_fn(t0), traj.vel_fn(t0),
+                      jnp.zeros(6, DTYPE), t0)
+        run = jax.jit(lambda es, tl: fu.run(cfg, es, tl, imu.times,
+                                            imu.accel, imu.gyro))
+
+        _, out_full = run(es0, tl)
+
+        E = int(tl.times.shape[0])
+        half = E // 2
+        first = jax.tree_util.tree_map(lambda x: x[:half], tl)
+        second = jax.tree_util.tree_map(lambda x: x[half:], tl)
+        es_half, out_a = run(es0, first)
+        path = os.path.join(tmp_path, "engine.npz")
+        U.save(path, es_half)
+        es_restored = U.restore(path, es0)       # fresh template
+        _, out_b = run(es_restored, second)
+
+        np.testing.assert_allclose(np.asarray(out_b.poses),
+                                   np.asarray(out_full.poses)[half:],
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(out_a.poses),
+                                   np.asarray(out_full.poses)[:half],
+                                   atol=1e-12)

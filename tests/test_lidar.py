@@ -383,3 +383,38 @@ class TestPerturbationDists:
         assert slopes["town"][:3].min() > 0.1, slopes["town"]
         # Town tx slope dominates corridor tx slope.
         assert slopes["town"][0] > 5 * cx
+
+
+class TestMapResidency:
+    def test_long_drive_keeps_local_density(self):
+        """Multi-minute-drive residency (the reference's 5:45 bags): after
+        inserting sweeps along a long path, the neighborhood of the CURRENT
+        position stays densely populated (registration quality) while far
+        behind-the-robot points are evicted (bounded memory) — the behavior
+        LOAM's rolling cube array provides."""
+        cfg = L.LidarOdomConfig()
+        m = L.voxelmap.empty(cfg.surf_map, DTYPE)
+        rng = np.random.default_rng(0)
+        ins = jax.jit(lambda m, p, msk, c: L.voxelmap.insert(
+            m, p, msk, c, cfg.surf_map))
+        # 60 insertion steps, 10 m apart (600 m drive), each contributing a
+        # local disc of surface points.
+        P = 4000
+        for i in range(60):
+            center = jnp.array([10.0 * i, 0.0, 1.5], DTYPE)
+            xy = rng.uniform(-60, 60, (P, 2))
+            pts = np.concatenate(
+                [xy + np.asarray(center[:2]), np.zeros((P, 1))], axis=1)
+            m = ins(m, jnp.asarray(pts, DTYPE), jnp.ones((P,), DTYPE),
+                    center)
+        final = np.array([590.0, 0.0, 1.5])
+        pts = np.asarray(m.points)
+        msk = np.asarray(m.mask) > 0
+        d = np.linalg.norm(pts - final, axis=-1)
+        near = msk & (d < 60.0)
+        # The local neighborhood holds thousands of points...
+        assert near.sum() > 3000, near.sum()
+        # ...and the map does not retain the far-away start of the drive.
+        far = msk & (np.linalg.norm(pts - np.array([0.0, 0, 0]),
+                                    axis=-1) < 60.0)
+        assert far.sum() < near.sum() * 0.2, (far.sum(), near.sum())

@@ -99,9 +99,18 @@ def _run_bag(args):
         "bag": args.bag,
         "events": int(res.timeline.times.shape[0]),
         "gate_keep_fraction": float(np.mean(np.asarray(res.gate.keep))),
-        "lidar_trans_logdet_mean": float(
-            np.mean(np.asarray(res.gate.trans_d_opt))),
+        # Mean over finite scores (the map-seeding first sweep has an
+        # empty Hessian -> -inf log-det).
+        "lidar_trans_logdet_mean": float(np.mean(
+            np.asarray(res.gate.trans_d_opt)[
+                np.isfinite(np.asarray(res.gate.trans_d_opt))])),
+        "healthy_fraction": float(np.mean(np.asarray(res.fused.healthy))),
     }
+    if args.checkpoint:
+        from . import utils as U
+
+        U.save(args.checkpoint, es)
+        out["checkpoint"] = args.checkpoint
     if ba.gt_poses is not None and len(ba.gt_poses):
         fused_t = np.asarray(res.fused.times)
         fused_p = np.asarray(res.fused.poses)
@@ -161,9 +170,18 @@ def cmd_run(args):
         "fused_ate_rmse_m": float(ev.ate_rmse(res.fused.poses,
                                               jnp.asarray(gt, dtype))),
         "gate_keep_fraction": float(np.mean(np.asarray(res.gate.keep))),
-        "lidar_trans_logdet_mean": float(
-            np.mean(np.asarray(res.gate.trans_d_opt))),
+        # Mean over finite scores (the map-seeding first sweep has an
+        # empty Hessian -> -inf log-det).
+        "lidar_trans_logdet_mean": float(np.mean(
+            np.asarray(res.gate.trans_d_opt)[
+                np.isfinite(np.asarray(res.gate.trans_d_opt))])),
+        "healthy_fraction": float(np.mean(np.asarray(res.fused.healthy))),
     }
+    if args.checkpoint:
+        from . import utils as U
+
+        U.save(args.checkpoint, es)
+        out["checkpoint"] = args.checkpoint
     print(json.dumps(out, indent=2))
 
 
@@ -221,6 +239,10 @@ def cmd_fuse_bag(args):
     t0 = jnp.asarray(float(tl.times[0]) - 1e-3, dtype)
     es = fu.init(sys_cfg.fusion, tl.odo_pose[0].astype(dtype),
                  jnp.zeros(3, dtype), jnp.zeros(6, dtype), t0)
+    if args.resume_from:
+        from . import utils as U
+
+        es = U.restore(args.resume_from, es)
     es, out = jax.jit(lambda es, tl: fu.run(
         sys_cfg.fusion, es, tl, jnp.asarray(imu_t, dtype),
         jnp.asarray(accel, dtype), jnp.asarray(gyro, dtype)))(es, tl)
@@ -260,6 +282,8 @@ def main(argv=None):
     pr.add_argument("--duration", type=float, default=4.0)
     pr.add_argument("--bag", default="",
                     help="raw-sensor bag to replay through the full stack")
+    pr.add_argument("--checkpoint", default="",
+                    help="save the final engine state (npz) for resume")
     pr.set_defaults(fn=cmd_run)
 
     pg = sub.add_parser(
@@ -282,6 +306,8 @@ def main(argv=None):
     pf.add_argument("--bag", required=True)
     pf.add_argument("--config", required=True)
     pf.add_argument("--out", default="")
+    pf.add_argument("--resume-from", default="",
+                    help="restore a checkpointed engine state before fusing")
     pf.set_defaults(fn=cmd_fuse_bag)
 
     pb = sub.add_parser("bench", help="per-chip throughput benchmark")

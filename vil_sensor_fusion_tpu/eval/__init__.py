@@ -7,7 +7,7 @@ from . import experiments
 from . import plots
 from . import roc
 from .correlations import CorrelationResult, search as correlation_search, search_sources as correlation_search_sources
-from .diagnostics import DiagnosticSeries, ate_rmse, diagnostics as diagnostic_series, rpe, umeyama_alignment
+from .diagnostics import DiagnosticSeries, anchor_first_pose, ate_rmse, diagnostics as diagnostic_series, rpe, umeyama_alignment
 from .roc import RocCurve, auc_table, label_windows, roc as roc_curve
 
 __all__ = [
@@ -19,7 +19,7 @@ __all__ = [
     "CorrelationResult",
     "correlation_search", "correlation_search_sources",
     "DiagnosticSeries",
-    "ate_rmse", "umeyama_alignment",
+    "anchor_first_pose", "ate_rmse", "umeyama_alignment",
     "diagnostic_series",
     "rpe",
     "RocCurve",

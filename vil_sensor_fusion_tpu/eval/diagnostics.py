@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..core import lie
@@ -87,6 +88,21 @@ def diagnostics(
         rel_rot_vel_err=safe_div(rot_vel_err, gt_step_rot),
         err_pose=err,
     )
+
+
+def anchor_first_pose(est_poses: jnp.ndarray,
+                      gt_poses: jnp.ndarray) -> jnp.ndarray:
+    """Re-anchor an estimated trajectory so its FIRST pose coincides with
+    the ground truth's first pose: est'ₖ = (gt₀ ∘ est₀⁻¹) ∘ estₖ.
+
+    This is exactly the reference's frame-anchoring mechanism — it links the
+    estimator's world frame to the GT frame at the initial sensor pose
+    (carla_frame_transforms.py:32-86 publishes that static TF; the EuRoC
+    adapter gt_transform.py:36-76 does the same via extrinsics). Use this
+    for reference-parity comparisons; use :func:`umeyama_alignment` for the
+    gauge-optimal (evo/TUM-style) alignment."""
+    g = lie.pose_compose(gt_poses[0], lie.pose_inverse(est_poses[0]))
+    return jax.vmap(lambda p: lie.pose_compose(g, p))(est_poses)
 
 
 def umeyama_alignment(

@@ -52,8 +52,14 @@ class LidarOdomConfig(NamedTuple):
     undistort: bool = False      # ego-motion compensation (scanPeriod)
     emit_dists: bool = False     # perturbation-sweep correspondence dists
     dists_shifts: int = 15       # S of the 6×S dists arrays
-    corner_map: vm.VoxelMapConfig = vm.VoxelMapConfig(capacity=8192, leaf=0.2)
-    surf_map: vm.VoxelMapConfig = vm.VoxelMapConfig(capacity=16384, leaf=0.4)
+    # Map residency sized for multi-minute drives (the reference's 5:45
+    # bags): at 0.2/0.4 m leaves these capacities hold the full keep_radius
+    # neighborhood without thrashing (LOAM's cube map achieves residency
+    # with a 101x51x101x10 m array; here a flat nearest-K store does).
+    corner_map: vm.VoxelMapConfig = vm.VoxelMapConfig(capacity=32768,
+                                                      leaf=0.2)
+    surf_map: vm.VoxelMapConfig = vm.VoxelMapConfig(capacity=65536,
+                                                    leaf=0.4)
     submap_corners: int = 4096
     submap_surfs: int = 8192
     submap_radius: float = 100.0

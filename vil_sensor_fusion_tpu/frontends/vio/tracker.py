@@ -32,13 +32,19 @@ def sobel(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return _conv2(img, kx), _conv2(img, kx.T)
 
 
+def _box(img: jnp.ndarray, window: int) -> jnp.ndarray:
+    """Separable box filter: two 1-D convolutions instead of one w×w
+    (w× less MAC work — exact, not an approximation)."""
+    row = jnp.ones((1, window), img.dtype) / window
+    return _conv2(_conv2(img, row), row.T)
+
+
 def shi_tomasi(img: jnp.ndarray, window: int = 5) -> jnp.ndarray:
     """Min-eigenvalue corner score per pixel."""
     gx, gy = sobel(img)
-    box = jnp.ones((window, window), img.dtype) / (window * window)
-    gxx = _conv2(gx * gx, box)
-    gyy = _conv2(gy * gy, box)
-    gxy = _conv2(gx * gy, box)
+    gxx = _box(gx * gx, window)
+    gyy = _box(gy * gy, window)
+    gxy = _box(gx * gy, window)
     tr = 0.5 * (gxx + gyy)
     det = jnp.sqrt(jnp.maximum((0.5 * (gxx - gyy)) ** 2 + gxy ** 2, 0.0))
     return tr - det
@@ -55,10 +61,13 @@ def detect(
     Returns (uv (N, 2) float, score (N,)); low-score slots are padding."""
     H, W = img.shape
     score = shi_tomasi(img)
-    # NMS: keep pixels equal to their neighborhood max.
+    # NMS: keep pixels equal to their neighborhood max. Separable max-pool
+    # (rows then columns) — exact for the square window, k× cheaper.
     k = 2 * nms_radius + 1
     mx = jax.lax.reduce_window(
-        score, -jnp.inf, jax.lax.max, (k, k), (1, 1), "SAME")
+        score, -jnp.inf, jax.lax.max, (k, 1), (1, 1), "SAME")
+    mx = jax.lax.reduce_window(
+        mx, -jnp.inf, jax.lax.max, (1, k), (1, 1), "SAME")
     is_peak = (score >= mx)
     yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)

@@ -42,6 +42,7 @@ import numpy as np
 from ..core import lie
 from ..core import preintegration as pre
 from ..graph import smoother as S
+from ..utils import health as HL
 from ..graph.smoother import SmootherConfig, SmootherState
 
 
@@ -65,6 +66,12 @@ class FusionConfig(NamedTuple):
     # (SensorManagerRos.cpp:122-158): translation in the before-body frame
     # but rotation composed as q2·q1⁻¹. False uses the proper SE(3) between.
     ref_pose_delta: bool = True
+    # Elastic recovery (utils.health): reject an event whose solve diverges
+    # (NaN/Inf state or velocity/bias blow-up) and keep the previous engine
+    # state — the generalization of max_time_skip's fault masking the
+    # reference lacks (SURVEY.md §5 'failure detection: none in-repo').
+    guard_health: bool = True
+    health_limits: HL.HealthLimits = HL.HealthLimits()
 
 
 class Timeline(NamedTuple):
@@ -96,6 +103,7 @@ class FusedOutput(NamedTuple):
     vels: jnp.ndarray        # (E, 3)
     biases: jnp.ndarray      # (E, 6)
     solved: jnp.ndarray      # (E,) 1 if a solve ran at this event
+    healthy: jnp.ndarray     # (E,) 0 = event rejected by the health guard
 
 
 def merge_timeline(
@@ -171,6 +179,7 @@ def step(
     maybe solve — the whole sensorCallback→odometryCallback→solve data path
     (SURVEY.md §3.2) as one pure function."""
     dtype = es.smoother.states.poses.dtype
+    es_in = es                          # pre-event state (health fallback)
     W = cfg.smoother.window
     spec = _spec_arrays(cfg, dtype)
     s = es.smoother
@@ -225,7 +234,13 @@ def step(
             jnp.where(upd, 1.0, es.has_last[sid])),
     )
     pose, vel, b, t = S.latest(s)
-    return es, (t, pose, vel, b, do_solve.astype(dtype))
+    healthy = HL.check_state(vel, b, limits=cfg.health_limits,
+                             extra_tree=pose)
+    if cfg.guard_health:
+        es = HL.guarded_update(es_in, es, healthy)
+        pose, vel, b, t = S.latest(es.smoother)
+    return es, (t, pose, vel, b, do_solve.astype(dtype),
+                healthy.astype(dtype))
 
 
 def run(
@@ -241,5 +256,6 @@ def run(
     def body(carry, ev):
         return step(cfg, carry, ev, imu_times, imu_accel, imu_gyro)
 
-    es, (t, p, v, b, sv) = jax.lax.scan(body, es, timeline)
-    return es, FusedOutput(times=t, poses=p, vels=v, biases=b, solved=sv)
+    es, (t, p, v, b, sv, hh) = jax.lax.scan(body, es, timeline)
+    return es, FusedOutput(times=t, poses=p, vels=v, biases=b, solved=sv,
+                           healthy=hh)
