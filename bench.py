@@ -24,12 +24,28 @@ achieved FLOP/s on the distance matmul) go to stderr.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 import jax
+
+# Persistent compilation cache: the full-pipeline jits are large and the
+# axon-tunnel TPU compiler is slow; cached executables make repeat bench
+# runs (the driver's end-of-round run) start in seconds instead of minutes.
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
+
+_T0 = time.perf_counter()
+
+
+def _progress(msg: str) -> None:
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 REALTIME_EVENTS_PER_S = 30.0
@@ -103,9 +119,18 @@ def main():
                           pose_ic=tuple(np.asarray(pose_ic)))
     fe_cfg = F.FrontendConfig(cam=cam, n_candidates=64, min_dist=16.0,
                               min_score=0.5)
-    sc = scenarios.build("town", duration=DURATION, vio_cfg=vio_cfg,
-                         dtype=dtype, vio_from_images=True,
-                         frontend_cfg=fe_cfg)
+    _progress("rendering scenario (untimed rig, CPU backend)")
+    # The scenario rig (raycast renders, GT trajectories) is test apparatus,
+    # not the system under test: build it on the host CPU backend — fast
+    # compiles, no TPU round-trips — then ship the arrays to the device.
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        sc = scenarios.build("town", duration=DURATION, vio_cfg=vio_cfg,
+                             dtype=dtype, vio_from_images=True,
+                             frontend_cfg=fe_cfg)
+    dev = jax.devices()[0]
+    sc = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, dev) if hasattr(x, "dtype") else x, sc)
+    _progress("scenario on device; compiling single-stream pipeline")
     cfg = vil.VilConfig(
         vio=vio_cfg,
         # Reference-parity LOAM structure: scan-to-scan odometry stage +
@@ -119,8 +144,9 @@ def main():
             sensors=vil.VilConfig().fusion.sensors, max_imu_per_gap=32),
     )
     t0j = jnp.zeros((), dtype)
-    pose0 = sc.traj.pose_fn(t0j).astype(dtype)
-    vel0 = sc.traj.vel_fn(t0j).astype(dtype)
+    # traj closures carry CPU-committed constants; evaluate there, then ship.
+    pose0 = jax.device_put(sc.traj.pose_fn(t0j).astype(dtype), dev)
+    vel0 = jax.device_put(sc.traj.vel_fn(t0j).astype(dtype), dev)
     imu_w = (sc.vio_frames.accel, sc.vio_frames.gyro, sc.vio_frames.dts)
 
     frontend = jax.jit(lambda img, pts, pv: F.build_frames(
@@ -169,6 +195,7 @@ def main():
     warm = U.StageTimer()
     fused = one_pass(warm)
     assert np.isfinite(np.asarray(fused.poses)).all()
+    _progress("single-stream compiled+warm; timing reps")
 
     timer = U.StageTimer()
     reps = 3
@@ -243,11 +270,13 @@ def main():
     es_b = jax.tree_util.tree_map(stack, es0)
     sweeps_b = jax.tree_util.tree_map(stack, sc.sweeps)
 
+    _progress("single-stream done; compiling batched pipeline")
     run_b = jax.jit(pipeline_b)
     args_b = (imgs_b, pts_b, pv_b, sweeps_b, vs_b, ls_b, es_b)
     fused_b = run_b(*args_b)
     jax.block_until_ready(fused_b)
     assert np.isfinite(np.asarray(fused_b.poses)).all()
+    _progress("batched compiled+warm; timing reps")
     t0b = time.perf_counter()
     reps_b = 3
     for _ in range(reps_b):
@@ -255,6 +284,7 @@ def main():
     jax.block_until_ready(fused_b)
     wall_b = (time.perf_counter() - t0b) / reps_b
     events_per_s_b = BATCH * n_events / wall_b
+    _progress("batched done; KNN kernel microbench")
 
     diag = {
         "platform": jax.devices()[0].platform,
