@@ -1,16 +1,20 @@
-"""End-of-round benchmark: FULL VIL pipeline throughput per chip.
+"""End-of-round benchmark: FULL VIL pipeline throughput per chip at the
+reference rig.
 
-Times the complete system on sensor streams — the job of the reference's
+Times the complete system on raw sensor streams — the job of the reference's
 live stack (gtsam_fusion/launch/fusion.launch: ROVIO + LOAM +
-degenerate_odometry_filter + gtsam_fusion_node):
+degenerate_odometry_filter + gtsam_fusion_node) — at the reference's sensor
+shapes (carla_tools/config/sensors.json): **800×600 camera @ 20 Hz** and the
+full VLP-16 grid (16×1800 @ 10 Hz), over **distinct sequences** (one town
+world per seed) batched on the data axis:
 
-  stage "frontend" — images → pyramids → KLT → detect → LiDAR-depth slots
-                     (the ROVIO-equivalent image tracker, one lax.scan)
-  stage "vio"      — error-state EKF over the frame stream
-  stage "lidar"    — feature extraction + scan-to-map ICP per sweep (the
-                     Pallas KNN kernel on TPU) + map update
-  stage "gate"     — log-det degeneracy gate on the ICP Hessians
-  stage "fusion"   — IMU preintegration + between-factors + fixed-lag GN
+  stage "frontend"  — images → pyramids/Shi-Tomasi/LiDAR-depth (batched
+                      phase) + KLT/slot scan (the ROVIO-equivalent tracker)
+  stage "vio"       — error-state EKF over the frame stream
+  stage "lidar"     — undistortion + features + two-stage LOAM registration
+                      (scan-to-scan + scan-to-map) + voxel-map update
+  stage "gate"      — log-det degeneracy gate on the ICP Hessians
+  stage "fusion"    — IMU preintegration + between-factors + fixed-lag GN
 
 Baseline semantics: the reference's fused output is capped at its sensor
 rate — 30 odometry events/s (20 Hz ROVIO + 10 Hz LOAM,
@@ -19,8 +23,7 @@ is ≥5× real-time per chip = 150 events/s over the FULL pipeline.
 ``vs_baseline`` = measured events/s ÷ 150.
 
 Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}.
-The per-stage StageTimer breakdown + KNN kernel microbench (Pallas vs XLA,
-achieved FLOP/s on the distance matmul) go to stderr.
+The per-stage breakdown + KNN kernel microbench go to stderr.
 """
 
 import json
@@ -34,8 +37,10 @@ import jax
 # Persistent compilation cache: the full-pipeline jits are large and the
 # axon-tunnel TPU compiler is slow; cached executables make repeat bench
 # runs (the driver's end-of-round run) start in seconds instead of minutes.
-os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".jax_cache")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
@@ -51,13 +56,12 @@ def _progress(msg: str) -> None:
 REALTIME_EVENTS_PER_S = 30.0
 TARGET_MULTIPLIER = 5.0
 
-# Benchmark rig: the reference camera is 800x600@20Hz (sensors.json); the
-# tracker cost is dominated by full-image detection/pyramids, so we bench at
-# 400x300 (the scale ROVIO effectively works at with its patch pyramid) and
-# the full VLP-16 sweep grid (16x1800@10Hz) — honest front-end shapes.
-CAM_W, CAM_H = 400, 300
+# The reference rig, full fidelity (sensors.json): 800x600@20Hz camera,
+# 16x1800@10Hz sweeps.
+CAM_W, CAM_H = 800, 600
 DURATION = 4.0
 N_SLOTS = 24
+BATCH = 8          # distinct sequences (one town world per seed)
 
 
 def knn_microbench():
@@ -76,6 +80,8 @@ def knn_microbench():
     if platform == "tpu":
         impls["pallas"] = jax.jit(
             lambda a, b, c: knn_ops.knn_pallas(a, b, c, k))
+        impls["approx"] = jax.jit(
+            lambda a, b, c: knn_ops.knn_approx(a, b, c, k))
     else:
         impls["topk"] = jax.jit(
             lambda a, b, c: knn_ops.knn_topk(a, b, c, k))
@@ -101,101 +107,143 @@ def main():
     from vil_sensor_fusion_tpu import fusion as fu
     from vil_sensor_fusion_tpu import graph as G
     from vil_sensor_fusion_tpu import utils as U
+    from vil_sensor_fusion_tpu.core import lie
     from vil_sensor_fusion_tpu.data import scenarios
     from vil_sensor_fusion_tpu.degeneracy import gate as DG
     from vil_sensor_fusion_tpu.frontends import lidar as L
     from vil_sensor_fusion_tpu.frontends import vio as V
     from vil_sensor_fusion_tpu.frontends.vio import frontend as F
     from vil_sensor_fusion_tpu.fusion import engine as E
-    from vil_sensor_fusion_tpu.fusion import vil
 
     dtype = jnp.float32
+    dev = jax.devices()[0]
 
-    # --- setup (untimed): render the drive's raw sensors --------------------
-    cam = V.camera.Camera(fx=214.0, fy=214.0, cx=CAM_W / 2.0,
-                          cy=CAM_H / 2.0, width=CAM_W, height=CAM_H)
+    cam = V.camera.carla_camera(width=CAM_W, height=CAM_H)  # fov 100°
     pose_ic = F.forward_camera_extrinsics(dtype)
     vio_cfg = V.VioConfig(num_landmarks=N_SLOTS, update_iters=2, cam=cam,
                           pose_ic=tuple(np.asarray(pose_ic)))
-    fe_cfg = F.FrontendConfig(cam=cam, n_candidates=64, min_dist=16.0,
+    fe_cfg = F.FrontendConfig(cam=cam, n_candidates=64, min_dist=24.0,
                               min_score=0.5)
-    _progress("rendering scenario (untimed rig, CPU backend)")
-    # The scenario rig (raycast renders, GT trajectories) is test apparatus,
-    # not the system under test: build it on the host CPU backend — fast
-    # compiles, no TPU round-trips — then ship the arrays to the device.
+    lidar_cfg = L.LidarOdomConfig(
+        icp=L.IcpConfig(iters=6, degen_eigval=5.0), two_stage=True,
+        undistort=True)
+    gate_cfg = DG.GateConfig(rot_threshold=4.0, trans_threshold=-6.0,
+                             normalize_per_corr=True)
+    from vil_sensor_fusion_tpu.fusion import vil as VIL
+    fusion_cfg = fu.FusionConfig(
+        smoother=G.SmootherConfig(window=6, between_slots=12, gn_iters=4),
+        sensors=VIL.VilConfig().fusion.sensors, max_imu_per_gap=32)
+
+    # --- setup (untimed): B DISTINCT sequences (one world per seed) --------
+    # Skeletons (trajectory, sweeps, IMU) on the host CPU backend — small
+    # jits, no device round-trips; the heavy 800x600x80-frame camera render
+    # runs on the TPU afterwards.
+    _progress(f"building {BATCH} distinct scenario skeletons (CPU)")
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        sc = scenarios.build("town", duration=DURATION, vio_cfg=vio_cfg,
-                             dtype=dtype, vio_from_images=True,
-                             frontend_cfg=fe_cfg)
-    dev = jax.devices()[0]
-    sc = jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, dev) if hasattr(x, "dtype") else x, sc)
-    _progress("scenario on device; compiling single-stream pipeline")
-    cfg = vil.VilConfig(
-        vio=vio_cfg,
-        # Reference-parity LOAM structure: scan-to-scan odometry stage +
-        # scan-to-map refinement (loam.launch:31-57).
-        lidar=L.LidarOdomConfig(icp=L.IcpConfig(iters=6, degen_eigval=5.0),
-                                two_stage=True),
-        gate=DG.GateConfig(rot_threshold=-1e9, trans_threshold=-5.0,
-                           normalize_per_corr=True),
-        fusion=fu.FusionConfig(
-            smoother=G.SmootherConfig(window=6, between_slots=12, gn_iters=4),
-            sensors=vil.VilConfig().fusion.sensors, max_imu_per_gap=32),
+        scs = [scenarios.build("town", duration=DURATION, vio_cfg=vio_cfg,
+                               dtype=dtype, seed=b) for b in range(BATCH)]
+    _progress("rendering camera streams on device")
+    lanes = []
+    for sc in scs:
+        lanes.append(_lane_arrays(sc, cam, pose_ic, dtype, dev))
+    stack = lambda xs: jnp.stack(xs, axis=0)
+    images_b = stack([ln[0] for ln in lanes])
+    pts_cam_b = stack([ln[1] for ln in lanes])
+    ptv_b = stack([ln[2] for ln in lanes])
+    sweeps_b = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, 0), *[sc.sweeps for sc in scs])
+    sweeps_b = jax.device_put(sweeps_b, dev)
+
+    sc0 = scs[0]
+    imu_t = jax.device_put(jnp.asarray(sc0.imu_times, dtype), dev)
+    imu_a_b = stack([jnp.asarray(sc.imu_accel, dtype) for sc in scs])
+    imu_g_b = stack([jnp.asarray(sc.imu_gyro, dtype) for sc in scs])
+    imu_w_b = (
+        stack([jnp.asarray(sc.vio_frames.accel, dtype) for sc in scs]),
+        stack([jnp.asarray(sc.vio_frames.gyro, dtype) for sc in scs]),
+        stack([jnp.asarray(sc.vio_frames.dts, dtype) for sc in scs]),
     )
+    T_v, T_l = len(sc0.vio_times), len(sc0.lidar_times)
+    n_events = T_v + T_l
+    guess_idx = jnp.asarray(sc0.lidar_guess_idx)
+
+    # Shared static timeline merge (identical stamps per lane).
+    all_t = np.concatenate([np.asarray(sc0.vio_times),
+                            np.asarray(sc0.lidar_times)])
+    order = jnp.asarray(np.argsort(all_t, kind="stable"))
+    src = jnp.asarray(np.concatenate(
+        [np.zeros(T_v, np.int32), np.ones(T_l, np.int32)])[np.asarray(order)])
+    times_sorted = jnp.asarray(all_t[np.asarray(order)], dtype)
+
+    # Initial states per lane.
     t0j = jnp.zeros((), dtype)
-    # traj closures carry CPU-committed constants; evaluate there, then ship.
-    pose0 = jax.device_put(sc.traj.pose_fn(t0j).astype(dtype), dev)
-    vel0 = jax.device_put(sc.traj.vel_fn(t0j).astype(dtype), dev)
-    imu_w = (sc.vio_frames.accel, sc.vio_frames.gyro, sc.vio_frames.dts)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        pose0s = stack([sc.traj.pose_fn(t0j).astype(dtype) for sc in scs])
+        vel0s = stack([sc.traj.vel_fn(t0j).astype(dtype) for sc in scs])
+    pose0s = jax.device_put(pose0s, dev)
+    vel0s = jax.device_put(vel0s, dev)
+    zeros6 = jnp.zeros((BATCH, 6), dtype)
+    vio_state0 = jax.vmap(lambda p, v, b: V.init(vio_cfg, p, v, b))(
+        pose0s, vel0s, zeros6)
+    lidar_state0 = jax.vmap(
+        lambda _: L.odometry.init(lidar_cfg, dtype))(jnp.arange(BATCH))
+    es0 = jax.vmap(lambda p, v, b: fu.init(fusion_cfg, p, v, b,
+                                           t0j - 1e-3))(pose0s, vel0s,
+                                                        zeros6)
 
-    frontend = jax.jit(lambda img, pts, pv: F.build_frames(
-        fe_cfg, img, pts, pv, imu_w, vio_cfg.num_landmarks))
-    vio_run = jax.jit(lambda s, f: V.run(cfg.vio, s, f))
-    lidar_run = jax.jit(
-        lambda st, sw, g: L.odometry.run(cfg.lidar, st, sw, g))
-    gate_fn = jax.jit(lambda h, n: DG.logdet_gate(h, cfg.gate, n_corr=n))
-    fusion_run = jax.jit(lambda es, tl, t, a, g: E.run(
-        cfg.fusion, es, tl, t, a, g))
+    # --- the pipeline: one jitted program PER STAGE, vmapped over lanes ----
+    # (separate programs per stage: XLA faults when the batched frontend
+    # phase fuses into the tracking scan — frontend.build_frames docstring —
+    # and per-stage timing is what the reference's node graph exposes too.)
+    fe1p = jax.jit(jax.vmap(lambda im: F.pyramids_batch(fe_cfg, im)))
+    fe1c = jax.jit(jax.vmap(
+        lambda im, p, v: F.candidates_batch(fe_cfg, im, p, v)))
+    fe2 = jax.jit(jax.vmap(
+        lambda py, cu, cs, cd, iw: F.track_frames(
+            fe_cfg, py, cu, cs, cd, iw, N_SLOTS)))
+    vio_run = jax.jit(jax.vmap(lambda s, f: V.run(vio_cfg, s, f)))
+    lidar_run = jax.jit(jax.vmap(
+        lambda st, sw, g: L.odometry.run(lidar_cfg, st, sw, g)))
+    gate_fn = jax.jit(jax.vmap(
+        lambda h, n: DG.logdet_gate(h, gate_cfg, n_corr=n)))
 
-    vio_state0 = V.init(cfg.vio, pose0, vel0, jnp.zeros(6, dtype))
-    lidar_state0 = L.odometry.init(cfg.lidar, dtype)
-    es0 = fu.init(cfg.fusion, pose0, vel0, jnp.zeros(6, dtype),
-                  t0j - 1e-3)
-    imu_t = sc.imu_times.astype(dtype)
-    imu_a = sc.imu_accel.astype(dtype)
-    imu_g = sc.imu_gyro.astype(dtype)
-    guess_idx = jnp.asarray(sc.lidar_guess_idx)
+    def mk_tl(vp, vc, lp, lc, keep_l):
+        return E.Timeline(
+            times=times_sorted, source=src,
+            odo_pose=jnp.concatenate([vp, lp], axis=0)[order],
+            odo_cov=jnp.concatenate([vc, lc], axis=0)[order],
+            keep=jnp.concatenate([jnp.ones((T_v,), dtype), keep_l],
+                                 axis=0)[order],
+            valid=jnp.ones((T_v + T_l,), dtype),
+        )
+
+    fusion_run = jax.jit(jax.vmap(
+        lambda es, vp, vc, lp, lc, kp, ia, ig: E.run(
+            fusion_cfg, es, mk_tl(vp, vc, lp, lc, kp), imu_t, ia, ig)))
 
     def one_pass(timer: U.StageTimer):
-        frames = timer.time("frontend", frontend, sc.images,
-                            sc.cam_points, sc.cam_point_valid)
+        py = timer.time("frontend_pyr", fe1p, images_b)
+        cu, cs, cd = timer.time("frontend_detect", fe1c, images_b,
+                                pts_cam_b, ptv_b)
+        frames = timer.time("frontend_track", fe2, py, cu, cs, cd, imu_w_b)
         _, vio_out = timer.time("vio", vio_run, vio_state0, frames)
-        guesses = vio_out.pose[guess_idx]
+        guesses = vio_out.pose[:, guess_idx]
         _, lidar_out = timer.time("lidar", lidar_run, lidar_state0,
-                                  sc.sweeps, guesses)
+                                  sweeps_b, guesses)
         gate_res = timer.time("gate", gate_fn, lidar_out.hessian,
                               lidar_out.n_corr)
-        # Host-side stream interleave (the topic-merge the reference's
-        # subscriber queues do): untimed preprocessing.
-        tl = E.merge_timeline([
-            (np.asarray(sc.vio_times), np.asarray(vio_out.pose),
-             np.asarray(vio_out.cov), np.ones(len(sc.vio_times))),
-            (np.asarray(sc.lidar_times), np.asarray(lidar_out.pose),
-             np.asarray(lidar_out.cov), np.asarray(gate_res.keep)),
-        ])
-        tl = jax.tree_util.tree_map(
-            lambda x: x.astype(dtype)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, tl)
-        es, fused = timer.time("fusion", fusion_run, es0, tl,
-                               imu_t, imu_a, imu_g)
+        _, fused = timer.time("fusion", fusion_run, es0, vio_out.pose,
+                              vio_out.cov, lidar_out.pose, lidar_out.cov,
+                              gate_res.keep, imu_a_b, imu_g_b)
         return fused
 
-    # Compile + warm up.
+    _progress("compiling + warming the batched pipeline "
+              f"({BATCH} lanes @ {CAM_W}x{CAM_H})")
     warm = U.StageTimer()
     fused = one_pass(warm)
+    jax.block_until_ready(fused)
     assert np.isfinite(np.asarray(fused.poses)).all()
-    _progress("single-stream compiled+warm; timing reps")
+    _progress("warm; timing reps")
 
     timer = U.StageTimer()
     reps = 3
@@ -203,105 +251,60 @@ def main():
     for _ in range(reps):
         fused = one_pass(timer)
     jax.block_until_ready(fused)
-    wall = (time.perf_counter() - t_start) / reps
-
-    summary = timer.summary()
-    device_s = sum(v["mean_s"] for v in summary.values())
-    n_events = len(sc.vio_times) + len(sc.lidar_times)
-    events_per_s = n_events / wall
+    wall_b = (time.perf_counter() - t_start) / reps
+    events_per_s_b = BATCH * n_events / wall_b
     target = REALTIME_EVENTS_PER_S * TARGET_MULTIPLIER
+    summary = timer.summary()
 
-    # --- batched throughput: the chip's real serving axis ------------------
-    # One stream leaves the chip mostly idle (small matrices, scan-serial
-    # stages); replaying B drives at once (vmap over the batch — the same
-    # data axis `parallel/` shards across chips) is how offline
-    # evaluation/serving actually runs.
-    BATCH = 8
+    # --- single-stream latency at the same full-res rig --------------------
+    _progress("compiling single-stream (latency) pipeline")
+    one = lambda tree: jax.tree_util.tree_map(lambda x: x[0], tree)
+    fe1p_1 = jax.jit(lambda im: F.pyramids_batch(fe_cfg, im))
+    fe1c_1 = jax.jit(lambda im, p, v: F.candidates_batch(fe_cfg, im, p, v))
+    fe2_1 = jax.jit(lambda py, cu, cs, cd, iw: F.track_frames(
+        fe_cfg, py, cu, cs, cd, iw, N_SLOTS))
+    vio_1 = jax.jit(lambda s, f: V.run(vio_cfg, s, f))
+    lidar_1 = jax.jit(lambda st, sw, g: L.odometry.run(lidar_cfg, st, sw, g))
+    gate_1 = jax.jit(lambda h, n: DG.logdet_gate(h, gate_cfg, n_corr=n))
+    fusion_1 = jax.jit(lambda es, vp, vc, lp, lc, kp, ia, ig: E.run(
+        fusion_cfg, es, mk_tl(vp, vc, lp, lc, kp), imu_t, ia, ig))
 
-    def stack(x):
-        return jnp.broadcast_to(x[None], (BATCH,) + x.shape)
-
-    # Static merge permutation (the stamps are the same every sequence, so
-    # the timeline sort is a fixed gather the device applies per element).
-    T_v, T_l = len(sc.vio_times), len(sc.lidar_times)
-    all_t = np.concatenate([np.asarray(sc.vio_times),
-                            np.asarray(sc.lidar_times)])
-    order = jnp.asarray(np.argsort(all_t, kind="stable"))
-    src = jnp.asarray(np.concatenate(
-        [np.zeros(T_v, np.int32), np.ones(T_l, np.int32)])[
-            np.asarray(order)])
-    times_sorted = jnp.asarray(all_t[np.asarray(order)], dtype)
-
-    def pipeline_b(images, cam_pts, cam_pv, sweeps, vs, ls, es):
-        frames = jax.vmap(lambda img, pts, pv: F.build_frames(
-            fe_cfg, img, pts, pv, imu_w, vio_cfg.num_landmarks))(
-                images, cam_pts, cam_pv)
-        _, vio_out = jax.vmap(lambda s, f: V.run(cfg.vio, s, f))(vs, frames)
-        guesses = vio_out.pose[:, guess_idx]
-        _, lidar_out = jax.vmap(
-            lambda st, sw, g: L.odometry.run(cfg.lidar, st, sw, g))(
-                ls, sweeps, guesses)
-        gate_res = jax.vmap(
-            lambda h, n: DG.logdet_gate(h, cfg.gate, n_corr=n))(
-                lidar_out.hessian, lidar_out.n_corr)
-
-        def mk_tl(vp, vc, lp, lc, keep_l):
-            return E.Timeline(
-                times=times_sorted,
-                source=src,
-                odo_pose=jnp.concatenate([vp, lp], axis=0)[order],
-                odo_cov=jnp.concatenate([vc, lc], axis=0)[order],
-                keep=jnp.concatenate(
-                    [jnp.ones((T_v,), dtype), keep_l], axis=0)[order],
-                valid=jnp.ones((T_v + T_l,), dtype),
-            )
-
-        tl = jax.vmap(mk_tl)(vio_out.pose, vio_out.cov, lidar_out.pose,
-                             lidar_out.cov, gate_res.keep)
-        es2, fused = jax.vmap(lambda e, t: E.run(
-            cfg.fusion, e, t, imu_t, imu_a, imu_g))(es, tl)
+    def one_pass_single():
+        py = fe1p_1(images_b[0])
+        cu, cs, cd = fe1c_1(images_b[0], pts_cam_b[0], ptv_b[0])
+        frames = fe2_1(py, cu, cs, cd, one(imu_w_b))
+        _, vio_out = vio_1(one(vio_state0), frames)
+        guesses = vio_out.pose[guess_idx]
+        _, lidar_out = lidar_1(one(lidar_state0), one(sweeps_b), guesses)
+        gate_res = gate_1(lidar_out.hessian, lidar_out.n_corr)
+        _, fused = fusion_1(one(es0), vio_out.pose, vio_out.cov,
+                            lidar_out.pose, lidar_out.cov, gate_res.keep,
+                            imu_a_b[0], imu_g_b[0])
         return fused
 
-    imgs_b = stack(sc.images)
-    pts_b = stack(jnp.asarray(sc.cam_points))
-    pv_b = stack(jnp.asarray(sc.cam_point_valid))
-    vs_b = jax.tree_util.tree_map(stack, vio_state0)
-    ls_b = jax.tree_util.tree_map(stack, lidar_state0)
-    es_b = jax.tree_util.tree_map(stack, es0)
-    sweeps_b = jax.tree_util.tree_map(stack, sc.sweeps)
+    f1 = one_pass_single()
+    jax.block_until_ready(f1)
+    t0s = time.perf_counter()
+    for _ in range(3):
+        f1 = one_pass_single()
+    jax.block_until_ready(f1)
+    wall_1 = (time.perf_counter() - t0s) / 3
 
-    _progress("single-stream done; compiling batched pipeline")
-    run_b = jax.jit(pipeline_b)
-    args_b = (imgs_b, pts_b, pv_b, sweeps_b, vs_b, ls_b, es_b)
-    fused_b = run_b(*args_b)
-    jax.block_until_ready(fused_b)
-    assert np.isfinite(np.asarray(fused_b.poses)).all()
-    _progress("batched compiled+warm; timing reps")
-    t0b = time.perf_counter()
-    reps_b = 3
-    for _ in range(reps_b):
-        fused_b = run_b(*args_b)
-    jax.block_until_ready(fused_b)
-    wall_b = (time.perf_counter() - t0b) / reps_b
-    events_per_s_b = BATCH * n_events / wall_b
-    _progress("batched done; KNN kernel microbench")
-
+    _progress("KNN kernel microbench")
     diag = {
         "platform": jax.devices()[0].platform,
+        "rig": f"{CAM_W}x{CAM_H}@20Hz camera, 16x1800@10Hz lidar "
+               "(reference sensors.json shapes)",
         "duration_s": DURATION,
-        "events": n_events,
-        "wall_s_per_pass": round(wall, 4),
-        "staged_s_per_pass": round(device_s, 4),
-        "realtime_factor_single_stream": round(DURATION / wall, 2),
-        "stages_ms": {k: round(v["mean_s"] * 1e3, 2)
-                      for k, v in summary.items()},
-        "batched": {
-            "batch": BATCH,
-            "wall_s_per_pass": round(wall_b, 4),
-            "events_per_s": round(events_per_s_b, 1),
-            "realtime_factor_aggregate": round(
-                BATCH * DURATION / wall_b, 2),
-        },
+        "events_per_lane": n_events,
+        "batch_distinct_sequences": BATCH,
+        "wall_s_per_batched_pass": round(wall_b, 4),
+        "events_per_s": round(events_per_s_b, 1),
+        "realtime_factor_aggregate": round(BATCH * DURATION / wall_b, 2),
+        "single_stream_wall_s": round(wall_1, 4),
+        "realtime_factor_single_stream": round(DURATION / wall_1, 2),
+        "stages_ms_batched": {k: round(v["mean_s"] * 1e3, 2)
+                              for k, v in summary.items()},
         "knn_kernel": {k: {kk: round(vv, 2) for kk, vv in v.items()}
                        for k, v in knn_microbench().items()},
     }
@@ -313,6 +316,22 @@ def main():
         "unit": "events/s",
         "vs_baseline": round(events_per_s_b / target, 3),
     }))
+
+
+def _lane_arrays(sc, cam, pose_ic, dtype, dev):
+    """Render one lane's camera stream + camera-frame sweep points on the
+    device (the heavy part of scenario construction at 800x600)."""
+    from vil_sensor_fusion_tpu.data import scenarios
+
+    sc_dev = sc._replace(
+        sweeps=jax.device_put(sc.sweeps, dev),
+        gt_vio_poses=np.asarray(sc.gt_vio_poses),
+        gt_lidar_poses=np.asarray(sc.gt_lidar_poses),
+        world=jax.device_put(sc.world, dev))
+    imgs, pts, ptv = scenarios.render_frontend_inputs(
+        sc_dev, cam, pose_ic, sweep_stride=4, dtype=dtype)
+    return (jax.device_put(imgs, dev), jax.device_put(pts, dev),
+            jax.device_put(ptv, dev))
 
 
 if __name__ == "__main__":

@@ -30,7 +30,15 @@ def test_run_report_and_cache(tmp_path):
               "report.json"):
         assert os.path.exists(os.path.join(run_dir, f)), f
     with open(os.path.join(reports, "summary.json")) as f:
-        assert json.load(f)[0]["spec"]["kind"] == "tunnel"
+        top = json.load(f)
+    assert top["runs"][0]["spec"]["kind"] == "tunnel"
+    # Cross-run aggregate (plot_all_rocs parity): pooled ROC figure, ATE
+    # table, calibrated thresholds.
+    agg_dir = os.path.join(reports, "aggregate")
+    for f in ("roc_all.png", "ate_table.png", "summary.json"):
+        assert os.path.exists(os.path.join(agg_dir, f)), f
+    assert "calibrated_thresholds" in top["aggregate"]
+    assert "trans_threshold" in top["aggregate"]["calibrated_thresholds"]
 
     # Cache hit: the second run loads from disk and reproduces the summary.
     cached = EX.run_experiment(spec, cache)

@@ -129,6 +129,45 @@ class TestCorridorDrive:
         curve = ev.roc_curve(labels, scores)
         assert float(curve.auc) > 0.9, float(curve.auc)
 
+    def test_rot_gate_fires_in_arena_trans_keeps(self, town_run):
+        """The ROTATION half of the thesis gate
+        (degerate_odometry_filter.cpp:32-45: drop when log det(H_rot) <
+        rot threshold), isolated by the arena scenario (spin at the center
+        of a surface-of-revolution room → yaw unobservable, translations
+        fine). With the product thresholds the rot gate must fire on arena
+        sweeps while the trans side alone would keep them — and the same
+        config keeps the well-conditioned town drive."""
+        gate_cfg = DG.GateConfig(rot_threshold=4.0, trans_threshold=-6.0,
+                                 normalize_per_corr=True)
+        sc, res, gt = _run_scenario("arena", gate_cfg=gate_cfg)
+        _, res_town, _ = town_run
+
+        rot_a = np.asarray(res.gate.rot_d_opt)[2:]
+        rot_t = np.asarray(res_town.gate.rot_d_opt)[2:]
+        trans_a = np.asarray(res.gate.trans_d_opt)[2:]
+        # Rotational information collapses in the arena vs town...
+        assert rot_a.mean() < rot_t.mean() - 5.0, (rot_a.mean(),
+                                                   rot_t.mean())
+        # ...the rot gate drops the sweeps...
+        assert np.asarray(res.gate.keep)[2:].mean() < 0.2
+        # ...while the translation side alone would have kept them.
+        assert (trans_a > gate_cfg.trans_threshold).mean() > 0.8, trans_a
+        # Town under the SAME calibrated thresholds keeps flowing.
+        keep_town = ((np.asarray(res_town.gate.rot_d_opt)[2:]
+                      >= gate_cfg.rot_threshold)
+                     & (np.asarray(res_town.gate.trans_d_opt)[2:]
+                        >= gate_cfg.trans_threshold))
+        assert keep_town.mean() > 0.8
+
+        # calibrate_threshold fitted from the labeled windows lands between
+        # the two populations (the data-driven 11.5-equivalent).
+        scores = jnp.concatenate([jnp.asarray(rot_a), jnp.asarray(rot_t)])
+        labels = jnp.concatenate([jnp.ones(rot_a.shape[0], bool),
+                                  jnp.zeros(rot_t.shape[0], bool)])
+        thr = float(DG.calibrate_threshold(scores, labels))
+        assert rot_a.max() <= thr <= rot_t.min(), (rot_a.max(), thr,
+                                                   rot_t.min())
+
     def test_dist_slope_detects_corridor_degeneracy(self, corridor_run,
                                                     town_run):
         """The research fork's dist_slope metric end-to-end: the pipeline's

@@ -28,10 +28,10 @@ import sys
 
 
 def _bag_rig(width=160, height=120, num_landmarks=16):
-    """The default camera rig for raw-bag runs: a small forward camera with
-    real mounting extrinsics (the image-driven tracker path is resolution-
-    agnostic; 160×120 keeps CLI runs fast — pass a config for the full
-    800×600 Carla rig)."""
+    """The default camera rig for raw-bag runs without a --config: a small
+    forward camera with real mounting extrinsics (the image-driven tracker
+    path is resolution-agnostic; 160×120 keeps ad-hoc CLI runs fast). Use
+    `--config configs/carla_full.yaml` for the reference's 800×600 rig."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -46,6 +46,43 @@ def _bag_rig(width=160, height=120, num_landmarks=16):
     fe_cfg = F.FrontendConfig(cam=cam, n_candidates=32, min_dist=10.0,
                               min_score=0.5)
     return vio_cfg, fe_cfg
+
+
+def _resolve_run_config(args, default_rig=None):
+    """(VilConfig, FrontendConfig) for `cli run`: from --config YAML when
+    given (the full per-dataset config surface, reference
+    gtsam_fusion/config/<dataset>/), else built-in defaults."""
+    from . import fusion as fu
+    from . import graph as G
+    from .degeneracy import gate as DG
+    from .frontends import lidar as L
+    from .fusion import vil
+
+    if args.config:
+        from . import config as C
+
+        sys_cfg = C.load(args.config)
+        return sys_cfg.vil(), sys_cfg.frontend
+    vio_cfg, fe_cfg = default_rig or _bag_rig()
+    cfg = vil.VilConfig(
+        vio=vio_cfg,
+        lidar=L.LidarOdomConfig(icp=L.IcpConfig(iters=6, degen_eigval=5.0)),
+        gate=DG.GateConfig(rot_threshold=4.0, trans_threshold=-6.0,
+                           normalize_per_corr=True),
+        fusion=fu.FusionConfig(
+            smoother=G.SmootherConfig(window=6, between_slots=12, gn_iters=4),
+            sensors=vil.VilConfig().fusion.sensors, max_imu_per_gap=32),
+    )
+    return cfg, fe_cfg
+
+
+def _model_mesh(args):
+    """Mesh for --model-devices N (one sequence's ICP over N chips)."""
+    if getattr(args, "model_devices", 0) and args.model_devices > 1:
+        from .parallel import mesh as PM
+
+        return PM.make_mesh(n_data=1, n_model=args.model_devices)
+    return None
 
 
 def cmd_record(args):
@@ -74,27 +111,13 @@ def cmd_record(args):
 
 def _run_bag(args):
     import numpy as np
-    import jax.numpy as jnp
 
-    from . import fusion as fu
-    from . import graph as G
-    from .degeneracy import gate as DG
-    from .frontends import lidar as L
     from .fusion import vil
 
-    vio_cfg, fe_cfg = _bag_rig()
-    cfg = vil.VilConfig(
-        vio=vio_cfg,
-        lidar=L.LidarOdomConfig(icp=L.IcpConfig(iters=6, degen_eigval=5.0)),
-        gate=DG.GateConfig(rot_threshold=-1e9, trans_threshold=-5.0,
-                           normalize_per_corr=True),
-        fusion=fu.FusionConfig(
-            smoother=G.SmootherConfig(window=6, between_slots=12, gn_iters=4),
-            sensors=vil.VilConfig().fusion.sensors, max_imu_per_gap=32),
-    )
+    cfg, fe_cfg = _resolve_run_config(args)
     es, res, ba = vil.run_vil_from_bag(
         args.bag, cfg=cfg, fe_cfg=fe_cfg,
-        topics=dict(gt_topic="/gt/odometry"))
+        topics=dict(gt_topic="/gt/odometry"), mesh=_model_mesh(args))
     out = {
         "bag": args.bag,
         "events": int(res.timeline.times.shape[0]),
@@ -132,26 +155,16 @@ def cmd_run(args):
 
     from . import eval as ev
     from . import fusion as fu
-    from . import graph as G
     from .data import scenarios
-    from .degeneracy import gate as DG
     from .frontends import lidar as L
     from .frontends import vio as V
     from .fusion import vil
 
     dtype = jnp.float32
-    vio_cfg = V.VioConfig(num_landmarks=24, update_iters=2)
+    default_vio = V.VioConfig(num_landmarks=24, update_iters=2)
+    cfg, _ = _resolve_run_config(args, default_rig=(default_vio, None))
     sc = scenarios.build(args.scenario, duration=args.duration,
-                         vio_cfg=vio_cfg, dtype=dtype)
-    cfg = vil.VilConfig(
-        vio=vio_cfg,
-        lidar=L.LidarOdomConfig(icp=L.IcpConfig(iters=6, degen_eigval=5.0)),
-        gate=DG.GateConfig(rot_threshold=-1e9, trans_threshold=-5.0,
-                           normalize_per_corr=True),
-        fusion=fu.FusionConfig(
-            smoother=G.SmootherConfig(window=6, between_slots=12, gn_iters=4),
-            sensors=vil.VilConfig().fusion.sensors, max_imu_per_gap=32),
-    )
+                         vio_cfg=cfg.vio, dtype=dtype)
     t0 = jnp.zeros((), dtype)
     pose0 = sc.traj.pose_fn(t0)
     vel0 = sc.traj.vel_fn(t0)
@@ -162,6 +175,7 @@ def cmd_run(args):
         sc.lidar_times, sc.sweeps, L.odometry.init(cfg.lidar, dtype),
         lidar_guess_from_vio_idx=sc.lidar_guess_idx,
         engine_state=fu.init(cfg.fusion, pose0, vel0, jnp.zeros(6, dtype), t0),
+        mesh=_model_mesh(args),
     )
     gt = np.asarray(jax.vmap(sc.traj.pose_fn)(res.timeline.times))
     out = {
@@ -278,18 +292,24 @@ def main(argv=None):
     pr = sub.add_parser(
         "run", help="run full VIL on a synthetic scenario or a raw bag")
     pr.add_argument("--scenario", default="town",
-                    choices=["town", "corridor"])
+                    choices=["town", "corridor", "tunnel", "arena"])
     pr.add_argument("--duration", type=float, default=4.0)
     pr.add_argument("--bag", default="",
                     help="raw-sensor bag to replay through the full stack")
     pr.add_argument("--checkpoint", default="",
                     help="save the final engine state (npz) for resume")
+    pr.add_argument("--config", default="",
+                    help="system YAML (configs/carla_full.yaml): camera/"
+                         "vio/frontend/lidar/filter/sensors/smoother")
+    pr.add_argument("--model-devices", type=int, default=1,
+                    help="spread one sequence's ICP registration over N "
+                         "devices (model-parallel psum reduction)")
     pr.set_defaults(fn=cmd_run)
 
     pg = sub.add_parser(
         "record", help="render a scenario's raw sensors into a bag")
     pg.add_argument("--scenario", default="town",
-                    choices=["town", "corridor"])
+                    choices=["town", "corridor", "tunnel", "arena"])
     pg.add_argument("--duration", type=float, default=2.0)
     pg.add_argument("--seed", type=int, default=0)
     pg.add_argument("--compression", default="bz2",

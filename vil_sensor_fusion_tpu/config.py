@@ -98,8 +98,117 @@ def smoother_config_from_dict(d: dict, imu: ImuParams) -> SmootherConfig:
     )
 
 
+def camera_from_dict(d: dict):
+    """``camera:`` section → Camera. Either explicit intrinsics
+    (fx/fy/cx/cy) or width/height/fov_deg (the sensors.json style)."""
+    from .frontends.vio.camera import Camera, carla_camera
+
+    w = int(d.get("width", 800))
+    h = int(d.get("height", 600))
+    if "fx" in d:
+        return Camera(fx=float(d["fx"]), fy=float(d.get("fy", d["fx"])),
+                      cx=float(d.get("cx", w / 2.0)),
+                      cy=float(d.get("cy", h / 2.0)), width=w, height=h)
+    return carla_camera(width=w, height=h,
+                        fov_deg=float(d.get("fov_deg", 100.0)))
+
+
+def vio_config_from_dict(d: dict, cam):
+    """``vio:`` section → VioConfig (the rovio.cfg equivalents)."""
+    import numpy as np
+
+    from .frontends import vio as V
+    from .frontends.vio import frontend as F
+
+    pose_ic = d.get("imu_t_camera")
+    if pose_ic is None:
+        pose_ic = tuple(np.asarray(F.forward_camera_extrinsics()))
+    else:
+        pose_ic = tuple(float(v) for v in pose_ic)   # (qw qx qy qz x y z)
+    return V.VioConfig(
+        num_landmarks=int(d.get("num_landmarks", 24)),
+        cov_accel=float(d.get("cov_accel", 1e-3)),
+        cov_gyro=float(d.get("cov_gyro", 1e-5)),
+        cov_bias_acc=float(d.get("cov_bias_acc", 1e-6)),
+        cov_bias_omega=float(d.get("cov_bias_omega", 1e-8)),
+        gravity=float(d.get("gravity", 9.81)),
+        pixel_sigma=float(d.get("pixel_sigma", 1.0)),
+        update_iters=int(d.get("update_iters", 2)),
+        chi2_gate=float(d.get("chi2_gate", 9.21)),
+        cam=cam, pose_ic=pose_ic,
+    )
+
+
+def frontend_config_from_dict(d: dict, cam):
+    """``frontend:`` section → FrontendConfig (tracker knobs)."""
+    from .frontends.vio import frontend as F
+
+    return F.FrontendConfig(
+        cam=cam,
+        pyramid_levels=int(d.get("pyramid_levels", 3)),
+        klt_radius=int(d.get("klt_radius", 4)),
+        klt_iters=int(d.get("klt_iters", 8)),
+        klt_max_error=float(d.get("klt_max_error", 12.0)),
+        n_candidates=int(d.get("n_candidates", 64)),
+        min_score=float(d.get("min_score", 0.5)),
+        min_dist=float(d.get("min_dist", 16.0)),
+        nms_radius=int(d.get("nms_radius", 8)),
+        border=int(d.get("border", 12)),
+        depth_grid=int(d.get("depth_grid", 8)),
+        depth_search=int(d.get("depth_search", 1)),
+        max_depth=float(d.get("max_depth", 120.0)),
+    )
+
+
+def _icp_from_dict(d: dict, base):
+    return base._replace(
+        iters=int(d.get("iters", base.iters)),
+        max_corr_dist=float(d.get("max_corr_dist", base.max_corr_dist)),
+        degen_eigval=float(d.get("degen_eigval", base.degen_eigval)),
+        line_eig_ratio=float(d.get("line_eig_ratio", base.line_eig_ratio)),
+        plane_fit_tol=float(d.get("plane_fit_tol", base.plane_fit_tol)),
+    )
+
+
+def lidar_config_from_dict(d: dict):
+    """``lidar:`` section → LidarOdomConfig (the loam_params.yaml
+    equivalents: odometry/mapping iteration budgets, degeneracy eigenvalue
+    thresholds, map leafs/capacities, two-stage + undistortion toggles)."""
+    from .frontends import lidar as L
+
+    base = L.LidarOdomConfig()
+    icp = _icp_from_dict(d.get("mapping", {}),
+                         base.icp._replace(iters=6, degen_eigval=5.0))
+    odom_icp = _icp_from_dict(d.get("odometry", {}), base.odom_icp)
+    cm, sm = base.corner_map, base.surf_map
+    md = d.get("corner_map", {})
+    cm = cm._replace(capacity=int(md.get("capacity", cm.capacity)),
+                     leaf=float(md.get("leaf", cm.leaf)),
+                     keep_radius=float(md.get("keep_radius", cm.keep_radius)),
+                     hashed=bool(md.get("hashed", cm.hashed)))
+    sd = d.get("surf_map", {})
+    sm = sm._replace(capacity=int(sd.get("capacity", sm.capacity)),
+                     leaf=float(sd.get("leaf", sm.leaf)),
+                     keep_radius=float(sd.get("keep_radius", sm.keep_radius)),
+                     hashed=bool(sd.get("hashed", sm.hashed)))
+    return base._replace(
+        icp=icp, odom_icp=odom_icp,
+        two_stage=bool(d.get("two_stage", True)),
+        undistort=bool(d.get("undistort", True)),
+        emit_dists=bool(d.get("emit_dists", False)),
+        corner_map=cm, surf_map=sm,
+        submap_corners=int(d.get("submap_corners", 4096)),
+        submap_surfs=int(d.get("submap_surfs", 8192)),
+        submap_radius=float(d.get("submap_radius", 100.0)),
+        submap_approx=bool(d.get("submap_approx", True)),
+    )
+
+
 class SystemConfig:
-    """Parsed top-level config: fusion + gate + topics."""
+    """Parsed top-level config: the full VIL system surface — fusion
+    back-end (fusion_params.yaml shape), camera rig + VIO (rovio.cfg /
+    rovio_camera.yaml roles), LiDAR odometry (loam_params.yaml role), and
+    the degeneracy gate."""
 
     def __init__(self, raw: dict):
         self.raw = raw
@@ -120,6 +229,37 @@ class SystemConfig:
             max_imu_per_gap=int(raw.get("max_imu_per_gap", 32)),
             ref_pose_delta=bool(raw.get("ref_pose_delta", True)),
         )
+        # Front-end surface (lazy: only built when the sections exist or a
+        # full VilConfig is requested).
+        self._cam_d = raw.get("camera", {})
+        self._vio_d = raw.get("vio", {})
+        self._fe_d = raw.get("frontend", {})
+        self._lidar_d = raw.get("lidar", {})
+
+    @property
+    def camera(self):
+        return camera_from_dict(self._cam_d)
+
+    @property
+    def vio(self):
+        return vio_config_from_dict(self._vio_d, self.camera)
+
+    @property
+    def frontend(self):
+        return frontend_config_from_dict(self._fe_d, self.camera)
+
+    @property
+    def lidar(self):
+        return lidar_config_from_dict(self._lidar_d)
+
+    def vil(self):
+        """Complete VilConfig from YAML alone — what `cli run --config`
+        builds (reference: the per-dataset config directories
+        gtsam_fusion/config/{carla,san_rafael}/)."""
+        from .fusion import vil as VIL
+
+        return VIL.VilConfig(vio=self.vio, lidar=self.lidar, gate=self.gate,
+                             fusion=self.fusion)
 
 
 def load(path: str) -> SystemConfig:

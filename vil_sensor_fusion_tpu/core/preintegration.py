@@ -193,7 +193,9 @@ def preintegrate(
         return s_new, None
 
     init = _init_state(dtype)
-    final, _ = jax.lax.scan(step, init, (accel, gyro, dts))
+    # unroll: each step is ~30 tiny 3x3 ops — unrolling lets XLA pipeline
+    # across steps and quarters the sequential-loop overhead on TPU.
+    final, _ = jax.lax.scan(step, init, (accel, gyro, dts), unroll=4)
     return PreintegratedImu(
         delta_t=final["dt_sum"],
         delta_R=final["dR"],

@@ -73,6 +73,29 @@ def town_world(n_boxes: int = 24, seed: int = 0, extent: float = 60.0,
     return World(plane_n=n, plane_d=d, box_min=bmin, box_max=bmax)
 
 
+def arena_world(radius: float = 9.0, faces: int = 96,
+                dtype=jnp.float32) -> World:
+    """Ground plane + a near-circular wall (``faces``-gon prism) around the
+    origin — a surface of revolution about the z axis. For a sensor at the
+    arena center, rotation about z (yaw) moves every wall point tangentially
+    to its own surface, so the ICP Hessian's yaw direction collapses while
+    all three translations stay strongly constrained (wall distance in x/y,
+    ground in z): the *rotation-degenerate* counterpart of the corridor,
+    isolating the rot half of the thesis gate
+    (degerate_odometry_filter.cpp:32-45 rot_degen_threshold). With 96 faces
+    the dihedral angle is ~3.75°, below the corner-curvature threshold, so
+    the wall reads as smooth."""
+    th = jnp.arange(faces, dtype=dtype) / faces * 2 * jnp.pi
+    # Inward normals; wall plane: n·x + d = 0 with d = radius.
+    n_wall = jnp.stack([-jnp.cos(th), -jnp.sin(th),
+                        jnp.zeros_like(th)], axis=-1)
+    n = jnp.concatenate([jnp.array([[0.0, 0.0, 1.0]], dtype), n_wall])
+    d = jnp.concatenate([jnp.zeros((1,), dtype),
+                         jnp.full((faces,), radius, dtype)])
+    zero = jnp.zeros((0, 3), dtype)
+    return World(plane_n=n, plane_d=d, box_min=zero, box_max=zero)
+
+
 def tunnel_world(x0: float = 20.0, x1: float = 44.0, width: float = 8.0,
                  height: float = 5.0, n_boxes: int = 24, seed: int = 0,
                  extent: float = 60.0, dtype=jnp.float32) -> World:

@@ -64,6 +64,20 @@ def _corridor_traj(speed: float = 4.0):
     return syn.trajectory(pos_fn, rot_fn)
 
 
+def _spin_traj(yaw_rate: float = 0.5):
+    """Rotate in place at the origin (sensor height 1.5 m) — the reference's
+    stationary evaluation bag (sample_bags/README.md), with steady yaw to
+    exercise rotational observability."""
+    def pos_fn(t):
+        return jnp.stack([0.0 * t, 0.0 * t, 1.5 + 0.0 * t])
+
+    def rot_fn(t):
+        from ..core import lie
+        return lie.so3_exp(jnp.stack([0.0 * t, 0.0 * t, yaw_rate * t]))
+
+    return syn.trajectory(pos_fn, rot_fn)
+
+
 def _town_traj(speed: float = 4.0):
     """Gently curving drive through the box town at sensor height 1.5 m."""
     def pos_fn(t):
@@ -107,7 +121,15 @@ def build(
         world = rc.corridor_world(width=8.0, height=5.0, dtype=dtype)
         traj = _corridor_traj()
         lm_extent, lm_height = 30.0, (0.5, 4.5)
-        degen_windows = ((0.0, duration),)
+        degen_windows = ((0.0, duration, "trans"),)
+    elif kind == "arena":
+        # Rotation-degenerate: spin at the center of a surface-of-revolution
+        # arena — yaw unobservable for ICP, translations well-conditioned
+        # (the DEGEN_ROT labeled-window case, make_prettier_graphs.py:46-120).
+        world = rc.arena_world(radius=9.0, faces=96, dtype=dtype)
+        traj = _spin_traj()
+        lm_extent, lm_height = 12.0, (0.5, 4.5)
+        degen_windows = ((0.0, duration, "rot"),)
     elif kind == "town":
         world = rc.town_world(n_boxes=28, seed=seed, dtype=dtype)
         traj = _town_traj()
@@ -126,7 +148,7 @@ def build(
         # inverted (start > end) window that would mislabel the ROC ground
         # truth.
         margin = min(0.5, (x1 - x0) / speed / 2.0)
-        degen_windows = ((x0 / speed + margin, x1 / speed - margin),)
+        degen_windows = ((x0 / speed + margin, x1 / speed - margin, "trans"),)
     else:
         raise ValueError(kind)
 
@@ -212,6 +234,45 @@ def build(
         cam_points=pts_cam if vio_from_images else None,
         cam_point_valid=sw_msk if vio_from_images else None,
     )
+
+
+def render_frontend_inputs(
+    sc: VilScenario,
+    cam,
+    pose_ic: jnp.ndarray,
+    sweep_stride: int = 4,
+    dtype=jnp.float32,
+):
+    """Render the camera stream + per-frame camera-frame sweep points for an
+    existing scenario (the ``vio_from_images`` inputs) as a separate,
+    device-friendly step — lets benchmarks build the cheap scenario skeleton
+    once and do the heavy rendering on the TPU.
+
+    Returns (images (T,H,W), pts_cam (T,P,3), pt_valid (T,P))."""
+    from ..core import lie
+
+    poses_v = jnp.asarray(sc.gt_vio_poses, dtype)
+    pose_ic = jnp.asarray(pose_ic, dtype)
+    poses_cam = jax.vmap(lambda p: lie.pose_compose(p, pose_ic))(poses_v)
+    images = rc.render_camera_series(sc.world, poses_cam, cam)
+    lidar_times = np.asarray(sc.lidar_times)
+    vio_times = np.asarray(sc.vio_times)
+    sw_idx = np.clip(
+        np.searchsorted(lidar_times, vio_times + 1e-9) - 1, 0, None)
+    T_l = len(lidar_times)
+    sw_xyz = sc.sweeps.xyz[:, :, ::sweep_stride, :].reshape(
+        T_l, -1, 3)[jnp.asarray(sw_idx)]
+    sw_msk = sc.sweeps.mask[:, :, ::sweep_stride].reshape(
+        T_l, -1)[jnp.asarray(sw_idx)]
+    poses_l = jnp.asarray(sc.gt_lidar_poses, dtype)[jnp.asarray(sw_idx)]
+    pose_cl = jax.vmap(
+        lambda pc, pl_: lie.pose_compose(lie.pose_inverse(pc), pl_)
+    )(poses_cam, poses_l)
+    pts_cam = jax.vmap(
+        lambda x, q, t: lie.quat_rotate(q[None], x) + t[None]
+    )(sw_xyz, lie.pose_quat(pose_cl), lie.pose_trans(pose_cl))
+    return (images.astype(dtype), pts_cam.astype(dtype),
+            sw_msk.astype(dtype))
 
 
 def write_scenario_bag(

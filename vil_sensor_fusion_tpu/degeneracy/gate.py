@@ -46,6 +46,21 @@ class GateResult(NamedTuple):
     keep: jnp.ndarray          # 1.0 = pass, 0.0 = drop (batched)
 
 
+def _logdet3(m: jnp.ndarray) -> jnp.ndarray:
+    """log det of batched 3x3 blocks, closed form (cofactor expansion).
+    slogdet's LU lowering costs ~0.5 ms *per call* on TPU for these tiny
+    matrices; the closed form is a handful of fused multiplies. Non-positive
+    determinants (empty Hessian) map to -inf, matching slogdet's log|det|
+    semantics at the only case the gate meets (PSD blocks)."""
+    det = (m[..., 0, 0] * (m[..., 1, 1] * m[..., 2, 2]
+                           - m[..., 1, 2] * m[..., 2, 1])
+           - m[..., 0, 1] * (m[..., 1, 0] * m[..., 2, 2]
+                             - m[..., 1, 2] * m[..., 2, 0])
+           + m[..., 0, 2] * (m[..., 1, 0] * m[..., 2, 1]
+                             - m[..., 1, 1] * m[..., 2, 0]))
+    return jnp.where(det > 0, jnp.log(jnp.maximum(det, 1e-30)), -jnp.inf)
+
+
 def logdet_gate(
     hessian: jnp.ndarray,
     cfg: GateConfig = GateConfig(),
@@ -60,8 +75,8 @@ def logdet_gate(
     − 3·log(n) for the 3×3 blocks."""
     trans = hessian[..., 0:3, 0:3]
     rot = hessian[..., 3:6, 3:6]
-    _, ld_rot = jnp.linalg.slogdet(rot)
-    _, ld_trans = jnp.linalg.slogdet(trans)
+    ld_rot = _logdet3(rot)
+    ld_trans = _logdet3(trans)
     if cfg.normalize_per_corr:
         if n_corr is None:
             raise ValueError("normalize_per_corr requires n_corr")

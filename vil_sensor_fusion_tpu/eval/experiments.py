@@ -29,7 +29,7 @@ import jax.numpy as jnp
 class ExperimentSpec:
     """One experiment cell (scenario kind × seed × duration × knobs)."""
 
-    kind: str = "town"          # town / corridor / tunnel
+    kind: str = "town"          # town / corridor / tunnel / arena
     duration: float = 3.0
     seed: int = 0
     two_stage: bool = True
@@ -38,7 +38,8 @@ class ExperimentSpec:
     distort_sweeps: bool = True
     icp_iters: int = 6
     degen_eigval: float = 5.0
-    trans_threshold: float = -5.0
+    trans_threshold: float = -6.0
+    rot_threshold: float = 4.0
 
     def key(self) -> str:
         blob = json.dumps(dataclasses.asdict(self), sort_keys=True)
@@ -49,10 +50,10 @@ class ExperimentSpec:
 def default_grid(seeds: Sequence[int] = (0, 1),
                  duration: float = 3.0) -> list[ExperimentSpec]:
     """The thesis's evaluation set: well-conditioned town drives plus the
-    degenerate corridor and tunnel bags (labeled windows —
-    make_prettier_graphs.py:46-120)."""
+    degenerate corridor/tunnel (DEGEN_TRANS) and arena (DEGEN_ROT) bags
+    (labeled windows — make_prettier_graphs.py:46-120)."""
     return [ExperimentSpec(kind=k, duration=duration, seed=s)
-            for k in ("town", "corridor", "tunnel") for s in seeds]
+            for k in ("town", "corridor", "tunnel", "arena") for s in seeds]
 
 
 def _run(spec: ExperimentSpec) -> dict:
@@ -80,7 +81,7 @@ def _run(spec: ExperimentSpec) -> dict:
                             degen_eigval=spec.degen_eigval),
             two_stage=spec.two_stage, undistort=spec.undistort,
             emit_dists=spec.emit_dists),
-        gate=DG.GateConfig(rot_threshold=-1e9,
+        gate=DG.GateConfig(rot_threshold=spec.rot_threshold,
                            trans_threshold=spec.trans_threshold,
                            normalize_per_corr=True),
         fusion=fu.FusionConfig(
@@ -117,7 +118,10 @@ def _run(spec: ExperimentSpec) -> dict:
     metric_names = ("d_opt", "a_opt", "e_opt", "condition_number")
     series = DG.score_series(metric_names, res.lidar_out.hessian)
     scores = {n: np.asarray(s.score_trans) for n, s in series.items()}
+    scores.update({f"{n}_rot": np.asarray(s.score_rot)
+                   for n, s in series.items()})
     scores["gate_trans_logdet"] = np.asarray(res.gate.trans_d_opt)
+    scores["gate_rot_logdet"] = np.asarray(res.gate.rot_d_opt)
     if spec.emit_dists:
         d = res.lidar_out.dists
         slopes = M.dist_slopes_6dof(
@@ -207,13 +211,20 @@ def report(result: Mapping, out_dir: str) -> dict:
 
     aucs = {}
     if windows:
-        labels = R.label_windows(jnp.asarray(lt), windows)
-        if bool(labels.any()) and not bool(labels.all()):
-            curves = {}
-            for name, s in scores.items():
-                c = R.roc(labels, jnp.asarray(np.asarray(s)))
-                curves[name] = c
-                aucs[name] = float(c.auc)
+        # Typed labels: rot-block metrics score against DEGEN_ROT windows,
+        # everything else against DEGEN_TRANS (make_prettier_graphs.py's
+        # per-type labeling).
+        lab = {k: R.label_windows(jnp.asarray(lt), windows, kind=k)
+               for k in ("trans", "rot")}
+        curves = {}
+        for name, s in scores.items():
+            labels = lab["rot"] if _is_rot_metric(name) else lab["trans"]
+            if not (bool(labels.any()) and not bool(labels.all())):
+                continue
+            c = R.roc(labels, jnp.asarray(np.asarray(s)))
+            curves[name] = c
+            aucs[name] = float(c.auc)
+        if curves:
             P.plot_rocs(curves, title="detector ROC",
                         path=os.path.join(out_dir, "roc.png"))
 
@@ -230,15 +241,111 @@ def report(result: Mapping, out_dir: str) -> dict:
     return summary
 
 
+def _is_rot_metric(name: str) -> bool:
+    return name.endswith("_rot") or name == "gate_rot_logdet"
+
+
+def _pool_scores(results: Sequence[Mapping]):
+    """Concatenate every run's (scores, typed labels) over the grid — the
+    pooled per-metric sample sets plot_all_rocs builds from MANY bags
+    (make_prettier_graphs.py:787-1008)."""
+    from . import roc as R
+
+    pooled: dict = {}
+    lab_trans, lab_rot = [], []
+    for res in results:
+        windows = [tuple(w) for w in list(res["degen_windows"])]
+        lt = np.asarray(res["lidar_times"])
+        lab_trans.append(np.asarray(
+            R.label_windows(jnp.asarray(lt), windows, kind="trans")))
+        lab_rot.append(np.asarray(
+            R.label_windows(jnp.asarray(lt), windows, kind="rot")))
+        scores = res["scores"] if isinstance(res["scores"], dict) \
+            else dict(res["scores"])
+        for name, s in scores.items():
+            pooled.setdefault(name, []).append(np.asarray(s))
+    pooled = {k: np.concatenate(v) for k, v in pooled.items()}
+    return pooled, np.concatenate(lab_trans), np.concatenate(lab_rot)
+
+
+def calibrate_thresholds(results: Sequence[Mapping]) -> dict:
+    """Fit BOTH gate thresholds from the grid's labeled windows: pool every
+    run's normalized log-det scores, then pick each threshold by Youden's J
+    (degeneracy.calibrate_threshold) — the data-driven version of the
+    reference's hand-tuned 11.5/28.9 (fusion_params.yaml:35-36)."""
+    from ..degeneracy.gate import calibrate_threshold
+
+    pooled, lab_trans, lab_rot = _pool_scores(results)
+    out = {}
+    for key, lab, name in (("trans_threshold", lab_trans,
+                            "gate_trans_logdet"),
+                           ("rot_threshold", lab_rot, "gate_rot_logdet")):
+        s = pooled.get(name)
+        if s is None or not lab.any() or lab.all():
+            continue
+        out[key] = float(calibrate_threshold(jnp.asarray(s),
+                                             jnp.asarray(lab)))
+    return out
+
+
+def aggregate_report(results: Sequence[Mapping], out_dir: str) -> dict:
+    """Cross-run aggregate figures — plot_all_rocs parity
+    (make_prettier_graphs.py:787-1008): ONE ROC figure per metric family
+    over the POOLED labeled windows of every run in the grid, plus a
+    cross-run AUC table and an ATE comparison figure, under
+    ``<report_dir>/aggregate/``."""
+    from . import plots as P
+    from . import roc as R
+
+    os.makedirs(out_dir, exist_ok=True)
+    pooled, lab_trans, lab_rot = _pool_scores(results)
+
+    curves, aucs = {}, {}
+    for name, s in pooled.items():
+        lab = lab_rot if _is_rot_metric(name) else lab_trans
+        if not (lab.any() and not lab.all()):
+            continue
+        c = R.roc(jnp.asarray(lab), jnp.asarray(s))
+        curves[name] = c
+        aucs[name] = float(c.auc)
+    if curves:
+        P.plot_rocs(curves, title="pooled detector ROC (all runs)",
+                    path=os.path.join(out_dir, "roc_all.png"))
+
+    # Cross-run ATE comparison (plot_err_over_time's summary role).
+    ate_rows = {}
+    for res in results:
+        spec = res["spec"] if isinstance(res["spec"], dict) \
+            else dict(res["spec"])
+        key = f"{spec['kind']}_s{spec['seed']}"
+        ate_rows[key] = {"lidar": float(res["ate_lidar"]),
+                         "vio": float(res["ate_vio"]),
+                         "fused": float(res["ate_fused"])}
+    P.plot_ate_table(ate_rows, path=os.path.join(out_dir, "ate_table.png"))
+
+    thresholds = calibrate_thresholds(results)
+    summary = {"auc": aucs, "ate": ate_rows,
+               "calibrated_thresholds": thresholds,
+               "n_runs": len(results)}
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary
+
+
 def run_and_report(specs: Sequence[ExperimentSpec], cache_dir: str,
                    report_dir: str) -> list[dict]:
-    """The one-command batch: run (cached) every spec and emit its report;
-    returns the summary list (also written as summary.json)."""
+    """The one-command batch: run (cached) every spec, emit its per-run
+    report, then the cross-run aggregate (pooled ROC + ATE table +
+    calibrated gate thresholds); returns the summary list (also written as
+    summary.json, aggregate under aggregate/)."""
     summaries = []
+    results = []
     for spec in specs:
         res = run_experiment(spec, cache_dir)
+        results.append(res)
         summaries.append(report(
             res, os.path.join(report_dir, spec.key())))
+    agg = aggregate_report(results, os.path.join(report_dir, "aggregate"))
     with open(os.path.join(report_dir, "summary.json"), "w") as f:
-        json.dump(summaries, f, indent=2)
+        json.dump({"runs": summaries, "aggregate": agg}, f, indent=2)
     return summaries

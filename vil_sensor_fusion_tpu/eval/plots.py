@@ -24,9 +24,10 @@ def _plt():
 
 def _shade_windows(ax, windows, color=(0.2, 0.2, 0.2, 0.2)):
     """The reference's grey degenerate-region shading
-    (make_prettier_graphs.py:540-545)."""
-    for a, b in windows:
-        ax.axvspan(a, b, color=color)
+    (make_prettier_graphs.py:540-545). Windows are (start, end) or
+    (start, end, kind)."""
+    for w in windows:
+        ax.axvspan(float(w[0]), float(w[1]), color=color)
 
 
 def plot_metric_over_time(
@@ -47,6 +48,35 @@ def plot_metric_over_time(
     axes[-1, 0].set_xlabel("time [s]")
     if title:
         fig.suptitle(title)
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+    return fig
+
+
+def plot_ate_table(
+    rows: Mapping[str, Mapping[str, float]],
+    title: str = "ATE RMSE by run [m]",
+    path: str | None = None,
+):
+    """Cross-run ATE comparison bar chart: one group per run, one bar per
+    estimator (LOAM vs ROVIO vs Fusion — the summary role of
+    make_prettier_graphs.py:1083-1149's per-dataset comparisons)."""
+    plt = _plt()
+    run_names = list(rows.keys())
+    est_names = sorted({e for r in rows.values() for e in r})
+    x = np.arange(len(run_names))
+    w = 0.8 / max(len(est_names), 1)
+    fig, ax = plt.subplots(figsize=(max(6, 1.2 * len(run_names)), 3.5))
+    for k, est in enumerate(est_names):
+        vals = [rows[r].get(est, np.nan) for r in run_names]
+        ax.bar(x + (k - (len(est_names) - 1) / 2) * w, vals, w, label=est)
+    ax.set_xticks(x)
+    ax.set_xticklabels(run_names, rotation=30, ha="right", fontsize=7)
+    ax.set_ylabel("ATE RMSE [m]")
+    ax.legend(fontsize=8)
+    ax.set_title(title)
     fig.tight_layout()
     if path:
         fig.savefig(path, dpi=120)

@@ -25,12 +25,23 @@ class RocCurve(NamedTuple):
 
 def label_windows(
     times: jnp.ndarray,
-    windows: Sequence[tuple[float, float]],
+    windows: Sequence[tuple],
+    kind: str | None = None,
 ) -> jnp.ndarray:
-    """Boolean degenerate-label series from (start, end) second windows —
-    the DEGEN_ROT/DEGEN_TRANS dictionaries' semantics."""
+    """Boolean degenerate-label series from labeled second windows — the
+    DEGEN_ROT/DEGEN_TRANS dictionaries' semantics
+    (make_prettier_graphs.py:46-120).
+
+    Windows are ``(start, end)`` or ``(start, end, kind)`` with kind in
+    {"trans", "rot", "both"}; bare 2-tuples count as "trans". Pass
+    ``kind="rot"``/``"trans"`` to label only that degeneracy type (windows
+    tagged "both" match either); ``kind=None`` labels every window."""
     lab = jnp.zeros(times.shape, bool)
-    for a, b in windows:
+    for w in windows:
+        a, b = float(w[0]), float(w[1])
+        k = w[2] if len(w) > 2 else "trans"
+        if kind is not None and k != kind and k != "both":
+            continue
         lab = lab | ((times >= a) & (times <= b))
     return lab
 

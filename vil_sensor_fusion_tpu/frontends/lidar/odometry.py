@@ -48,8 +48,10 @@ class LidarOdomConfig(NamedTuple):
     # with the same ratio).
     odom_icp: I.IcpConfig = I.IcpConfig(iters=8, max_corr_dist=2.0,
                                         degen_eigval=5.0)
-    two_stage: bool = False      # scan-to-scan odometry before mapping
-    undistort: bool = False      # ego-motion compensation (scanPeriod)
+    # Reference-parity LOAM structure ON by default (loam.launch:31-57 runs
+    # odometry AND mapping nodelets; undistortInputCloud/scanPeriod).
+    two_stage: bool = True       # scan-to-scan odometry before mapping
+    undistort: bool = True       # ego-motion compensation (scanPeriod)
     emit_dists: bool = False     # perturbation-sweep correspondence dists
     dists_shifts: int = 15       # S of the 6×S dists arrays
     # Map residency sized for multi-minute drives (the reference's 5:45
@@ -63,6 +65,9 @@ class LidarOdomConfig(NamedTuple):
     submap_corners: int = 4096
     submap_surfs: int = 8192
     submap_radius: float = 100.0
+    # Hardware approximate top-k for the submap selection (~3x cheaper at
+    # 64k→8k; the few swapped far members are registration-irrelevant).
+    submap_approx: bool = True
     # Covariance scale: cov = cost/(n-6) · H⁻¹ (standard GN posterior).
     min_dof: float = 12.0
     # Sweep grid (for the prev-sweep feature-pool shapes in two_stage mode).
@@ -181,9 +186,9 @@ def step(
     # --- Stage 2: scan-to-map refinement (laser_mapping) --------------------
     center = lie.pose_trans(pose_init)
     sub_c = vm.submap(state.corner_map, center, cfg.submap_corners,
-                      cfg.submap_radius)
+                      cfg.submap_radius, approx=cfg.submap_approx)
     sub_s = vm.submap(state.surf_map, center, cfg.submap_surfs,
-                      cfg.submap_radius)
+                      cfg.submap_radius, approx=cfg.submap_approx)
 
     if register_fn is None:
         def register_fn(*a):
@@ -225,10 +230,10 @@ def step(
     # --- Map + prev-sweep pool update ---------------------------------------
     w_corners = _to_world(pose, q_corners)
     w_surfs = _to_world(pose, q_surfs)
-    cm = vm.insert(state.corner_map, w_corners,
-                   q_corner_mask, lie.pose_trans(pose), cfg.corner_map)
-    sm = vm.insert(state.surf_map, w_surfs,
-                   q_surf_mask, lie.pose_trans(pose), cfg.surf_map)
+    cm = vm.insert_auto(state.corner_map, w_corners,
+                        q_corner_mask, lie.pose_trans(pose), cfg.corner_map)
+    sm = vm.insert_auto(state.surf_map, w_surfs,
+                        q_surf_mask, lie.pose_trans(pose), cfg.surf_map)
 
     new_state = LidarOdomState(
         corner_map=cm, surf_map=sm, pose=pose,

@@ -31,6 +31,11 @@ class VoxelMapConfig(NamedTuple):
     leaf: float = 0.4            # voxel edge (m)
     keep_radius: float = 120.0   # points beyond this of the sensor are evicted
     grid_half_extent: int = 512  # packed-key range: ±half_extent voxels
+    # hashed=True: O(N) scatter-based insert (insert_hashed) instead of the
+    # exact argsort/top-k dedup — ~5x cheaper per sweep on TPU, at the cost
+    # of occasionally dropping a point whose voxel hash collides with an
+    # occupied slot. The exact path remains for parity tests.
+    hashed: bool = True
 
 
 class VoxelMap(NamedTuple):
@@ -95,16 +100,77 @@ def insert(
     )
 
 
+def insert_hashed(
+    m: VoxelMap,
+    new_pts: jnp.ndarray,
+    new_mask: jnp.ndarray,
+    center: jnp.ndarray,
+    cfg: VoxelMapConfig,
+) -> VoxelMap:
+    """O(N) hash-table insert: the map IS an open-addressed voxel hash table
+    (slot = spatial-hash(voxel) mod capacity). Per sweep:
+
+    1. evict slots beyond ``keep_radius`` of the sensor (elementwise),
+    2. scatter-min new points into *unoccupied* slots — the nearest-to-sensor
+       new point wins its slot, which both deduplicates same-voxel points
+       (the leaf downsample) and keeps old points authoritative for their
+       voxel (LOAM's map-absorbs-scan order).
+
+    No sorts, no top-k — the whole insert is one scatter-min + one scatter,
+    which is what makes 10 Hz mapping cheap on TPU. A point whose voxel
+    hashes onto a slot occupied by a *different* voxel is dropped for that
+    sweep (it retries next sweep); at ≤50% load this loses a few % of
+    candidate points and nothing downstream depends on exact residency."""
+    dtype = m.points.dtype
+    C = cfg.capacity
+
+    # 1. Radius eviction (the cube-array falloff of LOAM's map).
+    d_old = jnp.linalg.norm(m.points - center[None, :], axis=-1)
+    alive = m.mask * (d_old < cfg.keep_radius).astype(dtype)
+
+    # 2. Spatial hash of the new points' voxels (absolute world voxels, so
+    # keys are stable as the sensor moves).
+    g = jnp.floor(new_pts / cfg.leaf).astype(jnp.int32)
+    h = (g[:, 0] * 73856093) ^ (g[:, 1] * 19349663) ^ (g[:, 2] * 83492791)
+    slot = jnp.abs(h) % C
+
+    d_new = jnp.linalg.norm(new_pts - center[None, :], axis=-1)
+    ok_new = (new_mask > 0) & (d_new < cfg.keep_radius)
+    prio = jnp.where(ok_new, d_new, jnp.inf)
+    best = jnp.full((C,), jnp.inf, dtype).at[slot].min(prio)
+    win = ok_new & (prio <= best[slot]) & (alive[slot] <= 0)
+    tgt = jnp.where(win, slot, C)                  # losers dropped via OOB
+    points = m.points.at[tgt].set(new_pts.astype(dtype), mode="drop")
+    mask = alive.at[tgt].set(1.0, mode="drop")
+    return VoxelMap(points=points * mask[:, None], mask=mask)
+
+
+def insert_auto(m, new_pts, new_mask, center, cfg: VoxelMapConfig):
+    """Dispatch on cfg.hashed."""
+    if cfg.hashed:
+        return insert_hashed(m, new_pts, new_mask, center, cfg)
+    return insert(m, new_pts, new_mask, center, cfg)
+
+
 def submap(
     m: VoxelMap,
     center: jnp.ndarray,
     budget: int,
     radius: float = 100.0,
+    approx: bool = False,
 ) -> VoxelMap:
     """Nearest-``budget`` points within ``radius`` of the sensor — the
-    registration target set (LOAM's neighbor-cube submap)."""
+    registration target set (LOAM's neighbor-cube submap).
+
+    ``approx=True`` selects with the hardware approximate top-k
+    (``lax.approx_max_k``, ~3x cheaper than the exact sort-based top-k at
+    64k→8k shapes); the selected set may swap a few of the farthest members
+    for slightly farther points, which registration is insensitive to."""
     d = jnp.linalg.norm(m.points - center[None, :], axis=-1)
     score = jnp.where((m.mask > 0) & (d < radius), -d, -jnp.inf)
-    top, idx = jax.lax.top_k(score, budget)
+    if approx:
+        top, idx = jax.lax.approx_max_k(score, budget, recall_target=0.95)
+    else:
+        top, idx = jax.lax.top_k(score, budget)
     ok = (top > -jnp.inf).astype(m.points.dtype)
     return VoxelMap(points=m.points[idx] * ok[:, None], mask=ok)

@@ -165,8 +165,11 @@ def propagate(
 
     q0 = lie.pose_quat(s.pose)
     p0 = lie.pose_trans(s.pose)
+    # unroll=4: the per-sample body is tiny 3x3/15x15 algebra — unrolling
+    # cuts the TPU sequential-loop overhead that dominates this scan.
     (q, p, v, bias, P_II, P_IL), _ = jax.lax.scan(
-        step, (q0, p0, s.vel, s.bias, P_II, P_IL), (accel, gyro, dts))
+        step, (q0, p0, s.vel, s.bias, P_II, P_IL), (accel, gyro, dts),
+        unroll=4)
 
     cov = jnp.zeros_like(s.cov)
     cov = cov.at[:IMU_DIM, :IMU_DIM].set(P_II)

@@ -17,6 +17,7 @@ frontend jits and scans on-device).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -77,20 +78,30 @@ def lidar_depth_map(
 ) -> jnp.ndarray:
     """Splat sweep points into a coarse (H/g, W/g) min-depth grid.
 
-    0 = no depth available in that cell."""
+    0 = no depth available in that cell.
+
+    TPU note: implemented as a dense masked min over a (cells, P) comparison
+    tile rather than a scatter-min — XLA serializes batched scatters on TPU
+    (a vmapped `.at[].min` over 80 frames ran long enough to trip device
+    timeouts), while the dense compare is a single VPU-friendly reduction.
+    At the default 8-px grid this is ~2k×7k per frame; callers at higher
+    camera resolutions should scale ``depth_grid`` to keep the angular cell
+    size (and this tile) constant."""
     dtype = points_cam.dtype
     g = cfg.depth_grid
     Hg = cfg.cam.height // g
     Wg = cfg.cam.width // g
+    C_cells = Hg * Wg
     uv, ok = C.project(cfg.cam, points_cam)
     z = points_cam[..., 2]
     ok = ok & (point_valid > 0) & (z > 0.1) & (z < cfg.max_depth)
     cu = jnp.clip((uv[..., 0] / g).astype(jnp.int32), 0, Wg - 1)
     cv = jnp.clip((uv[..., 1] / g).astype(jnp.int32), 0, Hg - 1)
-    flat = cv * Wg + cu
+    flat = jnp.where(ok, cv * Wg + cu, -1)
     big = jnp.asarray(1e9, dtype)
-    grid = jnp.full((Hg * Wg,), big, dtype)
-    grid = grid.at[jnp.where(ok, flat, 0)].min(jnp.where(ok, z, big))
+    cell_ids = jnp.arange(C_cells, dtype=jnp.int32)
+    hit = cell_ids[:, None] == flat[None, :]              # (cells, P)
+    grid = jnp.min(jnp.where(hit, z[None, :], big), axis=1)
     grid = jnp.where(grid < big, grid, 0.0)
     return grid.reshape(Hg, Wg)
 
@@ -119,18 +130,18 @@ def depth_at(cfg: FrontendConfig, depth_map: jnp.ndarray,
 # Per-frame step
 # ---------------------------------------------------------------------------
 
-def frontend_step(
+def _track_and_assign(
     cfg: FrontendConfig,
     ts: TrackerState,
-    image: jnp.ndarray,            # (H, W) grayscale
-    points_cam: jnp.ndarray,       # (P, 3) latest sweep in this camera frame
-    point_valid: jnp.ndarray,      # (P,)
+    pyr_new: tuple,                # this frame's pyramid
+    cand_uv: jnp.ndarray,          # (C, 2) detection candidates
+    cand_score: jnp.ndarray,       # (C,)
+    cand_depth: jnp.ndarray,       # (C,) LiDAR depth per candidate (0 = none)
 ) -> tuple[TrackerState, tuple]:
-    """Track + replenish one frame. Returns the per-frame observation
-    block (obs_uv, obs_valid, new_uv, new_depth, new_enable)."""
-    dtype = image.dtype
+    """The sequential core of one frontend step: continue tracks via KLT and
+    fill freed slots from the (precomputed) candidate set."""
+    dtype = ts.uv.dtype
     M = ts.uv.shape[0]
-    pyr_new = tuple(T.pyramid(image, cfg.pyramid_levels))
 
     # 1. Continue existing tracks.
     obs_uv, obs_valid = T.klt_track(
@@ -139,18 +150,11 @@ def frontend_step(
         max_error=cfg.klt_max_error)
     obs_valid = obs_valid * ts.valid   # dead slots stay dead through KLT
 
-    # 2. LiDAR depth map for this frame.
-    dmap = lidar_depth_map(cfg, points_cam, point_valid)
-
-    # 3. Detect candidates; drop those near live tracks or without depth.
-    cand_uv, cand_score = T.detect(
-        image, cfg.n_candidates, nms_radius=cfg.nms_radius,
-        border=cfg.border)
+    # 2. Filter candidates: drop those near live tracks or without depth.
     d2 = jnp.sum(
         (cand_uv[:, None, :] - obs_uv[None, :, :]) ** 2, axis=-1)  # (C, M)
     d2 = jnp.where(obs_valid[None, :] > 0, d2, jnp.inf)
     far = jnp.min(d2, axis=-1) > cfg.min_dist ** 2
-    cand_depth = depth_at(cfg, dmap, cand_uv)
     cand_ok = (far & (cand_score > cfg.min_score) & (cand_depth > 0))
 
     # Also keep candidates apart from each other: suppress a candidate that
@@ -162,7 +166,7 @@ def frontend_step(
         (cd2 < cfg.min_dist ** 2) & earlier & cand_ok[None, :], axis=-1)
     cand_ok = cand_ok & ~clash
 
-    # 4. Rank-match accepted candidates to free slots (static shapes):
+    # 3. Rank-match accepted candidates to free slots (static shapes):
     # the r-th accepted candidate fills the r-th free slot.
     free = obs_valid <= 0
     slot_rank = jnp.cumsum(free.astype(jnp.int32)) - 1       # (M,) 0-based
@@ -185,6 +189,102 @@ def frontend_step(
     )
 
 
+def frontend_step(
+    cfg: FrontendConfig,
+    ts: TrackerState,
+    image: jnp.ndarray,            # (H, W) grayscale
+    points_cam: jnp.ndarray,       # (P, 3) latest sweep in this camera frame
+    point_valid: jnp.ndarray,      # (P,)
+) -> tuple[TrackerState, tuple]:
+    """Track + replenish one frame. Returns the per-frame observation
+    block (obs_uv, obs_valid, new_uv, new_depth, new_enable)."""
+    pyr_new = tuple(T.pyramid(image, cfg.pyramid_levels))
+    dmap = lidar_depth_map(cfg, points_cam, point_valid)
+    cand_uv, cand_score = T.detect(
+        image, cfg.n_candidates, nms_radius=cfg.nms_radius,
+        border=cfg.border)
+    cand_depth = depth_at(cfg, dmap, cand_uv)
+    return _track_and_assign(cfg, ts, pyr_new, cand_uv, cand_score,
+                             cand_depth)
+
+
+def pyramids_batch(cfg: FrontendConfig, images: jnp.ndarray):
+    """Batched pyramids for all frames: tuple of (T, h_l, w_l)."""
+    return jax.vmap(lambda im: tuple(T.pyramid(im, cfg.pyramid_levels)))(
+        images)
+
+
+def candidates_batch(
+    cfg: FrontendConfig,
+    images: jnp.ndarray,           # (T, H, W)
+    points_cam: jnp.ndarray,       # (T, P, 3)
+    point_valid: jnp.ndarray,      # (T, P)
+):
+    """Batched Shi-Tomasi detection + LiDAR candidate depths for all
+    frames: (cand_uv (T,C,2), cand_score (T,C), cand_depth (T,C))."""
+    cand_uv, cand_score = jax.vmap(
+        lambda im: T.detect(im, cfg.n_candidates, nms_radius=cfg.nms_radius,
+                            border=cfg.border))(images)
+    dmaps = jax.vmap(lambda p, v: lidar_depth_map(cfg, p, v))(
+        points_cam, point_valid)
+    cand_depth = jax.vmap(lambda d, uv: depth_at(cfg, d, uv))(dmaps, cand_uv)
+    return cand_uv, cand_score, cand_depth
+
+
+def precompute_frames(
+    cfg: FrontendConfig,
+    images: jnp.ndarray,           # (T, H, W) grayscale
+    points_cam: jnp.ndarray,       # (T, P, 3) sweep points per frame
+    point_valid: jnp.ndarray,      # (T, P)
+):
+    """Phase 1 of the frontend — everything with no sequential dependency,
+    batched over all frames: pyramids, Shi-Tomasi detection, LiDAR depth
+    maps, candidate depths. Big fused convolutions/top-k on the MXU/VPU.
+
+    NOTE (TPU): compile :func:`pyramids_batch` and :func:`candidates_batch`
+    as SEPARATE programs (as :func:`build_frames` does) — fusing all three
+    batched producers into one XLA program faults the TPU compiler at real
+    frame counts (any two of the three are fine; empirically T ≳ 60).
+
+    Returns (pyramids tuple of (T, h_l, w_l), cand_uv (T,C,2),
+    cand_score (T,C), cand_depth (T,C))."""
+    pyrs = pyramids_batch(cfg, images)
+    cand_uv, cand_score, cand_depth = candidates_batch(
+        cfg, images, points_cam, point_valid)
+    return pyrs, cand_uv, cand_score, cand_depth
+
+
+def track_frames(
+    cfg: FrontendConfig,
+    pyrs: tuple,
+    cand_uv: jnp.ndarray,
+    cand_score: jnp.ndarray,
+    cand_depth: jnp.ndarray,
+    imu_windows: tuple,
+    num_slots: int,
+) -> VioFrameInput:
+    """Phase 2 of the frontend — the inherently sequential part: KLT from
+    frame t−1 plus slot replenishment, as one ``lax.scan`` carrying the
+    previous frame's pyramid."""
+    dtype = pyrs[0].dtype
+    ts0 = init_tracker(cfg, num_slots, dtype)
+
+    def body(ts, x):
+        pyr_t, cuv, cscore, cdepth = x
+        return _track_and_assign(cfg, ts, tuple(pyr_t), cuv, cscore, cdepth)
+
+    _, (obs_uv, obs_valid, new_uv, new_depth, new_enable) = jax.lax.scan(
+        body, ts0, (tuple(pyrs), cand_uv, cand_score, cand_depth))
+
+    accel, gyro, dts = imu_windows
+    return VioFrameInput(
+        accel=jnp.asarray(accel, dtype), gyro=jnp.asarray(gyro, dtype),
+        dts=jnp.asarray(dts, dtype),
+        obs_uv=obs_uv, obs_valid=obs_valid,
+        new_uv=new_uv, new_depth=new_depth, new_enable=new_enable,
+    )
+
+
 def build_frames(
     cfg: FrontendConfig,
     images: jnp.ndarray,           # (T, H, W) grayscale
@@ -195,24 +295,34 @@ def build_frames(
 ) -> VioFrameInput:
     """Scan the tracker over an image sequence → the full VioFrameInput
     stream the EKF consumes — the image-driven replacement for
-    synthetic.make_frames."""
-    dtype = images.dtype
-    ts0 = init_tracker(cfg, num_slots, dtype)
+    synthetic.make_frames.
 
-    def body(ts, x):
-        img, pts, pv = x
-        return frontend_step(cfg, ts, img, pts, pv)
+    Structured as THREE separately compiled programs — batched pyramids,
+    batched detection+depth, and the sequential KLT/slot scan: fusing all
+    the batched producers (or producers into the scan consumer) in one XLA
+    program reliably faults the TPU compiler at real frame counts
+    (empirically T ≳ 60), and the split also guarantees the batched phase
+    runs as the big parallel kernels it was written to be."""
+    p_pyr, p_cand, phase2 = _frontend_programs(cfg, num_slots)
+    # Block between programs: compiling/launching the next program while the
+    # previous executes faults the axon-tunnel TPU runtime (µs-level cost on
+    # this host-orchestrated path).
+    pyrs = jax.block_until_ready(p_pyr(images))
+    cand_uv, cand_score, cand_depth = jax.block_until_ready(
+        p_cand(images, points_cam, point_valid))
+    return phase2(pyrs, cand_uv, cand_score, cand_depth, imu_windows)
 
-    _, (obs_uv, obs_valid, new_uv, new_depth, new_enable) = jax.lax.scan(
-        body, ts0, (images, points_cam, point_valid))
 
-    accel, gyro, dts = imu_windows
-    return VioFrameInput(
-        accel=jnp.asarray(accel, dtype), gyro=jnp.asarray(gyro, dtype),
-        dts=jnp.asarray(dts, dtype),
-        obs_uv=obs_uv, obs_valid=obs_valid,
-        new_uv=new_uv, new_depth=new_depth, new_enable=new_enable,
-    )
+@functools.lru_cache(maxsize=16)
+def _frontend_programs(cfg: FrontendConfig, num_slots: int):
+    """Cached jitted phases per (config, slots) — fresh jit wrappers every
+    call would re-trace the T-length scan each time (~seconds)."""
+    p_pyr = jax.jit(lambda im: pyramids_batch(cfg, im))
+    p_cand = jax.jit(lambda im, p, v: candidates_batch(cfg, im, p, v))
+    phase2 = jax.jit(
+        lambda py, cu, cs, cd, iw: track_frames(cfg, py, cu, cs, cd, iw,
+                                                num_slots))
+    return p_pyr, p_cand, phase2
 
 
 def forward_camera_extrinsics(dtype=jnp.float32) -> jnp.ndarray:

@@ -115,6 +115,15 @@ def _patch_grid(radius: int, dtype):
     return jnp.stack([du.reshape(-1), dv.reshape(-1)], axis=-1)  # (P, 2)
 
 
+def _hat_mat(center, offs, win: int, dtype):
+    """Linear-interpolation weight matrix: row i holds the bilinear hat
+    weights of window columns for sample position ``center + offs[i]``
+    (local window coordinates). Shape (P, win)."""
+    pos = center + offs                                    # (P,)
+    j = jnp.arange(win, dtype=dtype)                       # (win,)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, None] - j[None, :]))
+
+
 def klt_track(
     prev_pyr: list[jnp.ndarray],
     next_pyr: list[jnp.ndarray],
@@ -123,24 +132,61 @@ def klt_track(
     radius: int = 4,
     iters: int = 8,
     max_error: float = 12.0,
+    margin: int = 6,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Pyramidal KLT: track features from prev to next frame.
+
+    TPU-native formulation: per level, a single (win × win) pixel window is
+    extracted around each feature from both images (one dynamic-slice each);
+    every GN iteration then evaluates the bilinear patch samples as two
+    tiny interpolation-matrix products ``A_v @ W @ A_uᵀ`` — dense VMEM
+    arithmetic with **zero gathers in the loop**. Per-feature capture range
+    per level is ±``margin`` px (the pyramid gives the usual multi-scale
+    reach); displacements beyond it fail the photometric check and are
+    invalidated — the same contract as classic window-based KLT.
 
     Returns (uv_next (N, 2), valid (N,)); tracks failing convergence, image
     bounds, or the final photometric-error check are invalidated."""
     dtype = uv_prev.dtype
-    grid = _patch_grid(radius, dtype)          # (P, 2)
     levels = len(prev_pyr)
+    r = radius
+    win = 2 * (radius + margin) + 1
+    offs = jnp.arange(-r, r + 1, dtype=dtype)              # (P,) per axis
+
+    def extract_window(img, center_uv):
+        """(win, win) window whose top-left pixel is
+        round(center)−(r+margin), clamped inside the image. Returns
+        (window, corner (2,))."""
+        H, W = img.shape
+        c = jnp.round(center_uv).astype(jnp.int32) - (r + margin)
+        cx = jnp.clip(c[0], 0, max(W - win, 0))
+        cy = jnp.clip(c[1], 0, max(H - win, 0))
+        w = jax.lax.dynamic_slice(img, (cy, cx), (win, win))
+        return w, jnp.stack([cx, cy]).astype(dtype)
+
+    def sample(Wimg, local_uv):
+        """Bilinear (2r+1)² patch at local window coords via hat matmuls."""
+        Au = _hat_mat(local_uv[0], offs, win, dtype)        # (P, win)
+        Av = _hat_mat(local_uv[1], offs, win, dtype)
+        return Av @ Wimg @ Au.T                             # (P, P)
 
     def track_level(uv_p, uv_n, prev_img, next_img):
         """One feature, one level. uv in this level's pixel scale."""
-        pts_p = uv_p[None, :] + grid
-        tpl = bilinear(prev_img, pts_p)        # (P,)
+        Wp, corner_p = extract_window(prev_img, uv_p)
+        Wn, corner_n = extract_window(next_img, uv_n)
+        lp = uv_p - corner_p                               # template center
+        tpl = sample(Wp, lp)
+        # Gradients: central differences at ±0.5 px (same smoothing as a
+        # bilinear resample), evaluated with shifted hat matrices.
         eps = jnp.asarray(0.5, dtype)
-        gx = (bilinear(prev_img, pts_p + jnp.array([1, 0], dtype) * eps)
-              - bilinear(prev_img, pts_p - jnp.array([1, 0], dtype) * eps)) / (2 * eps)
-        gy = (bilinear(prev_img, pts_p + jnp.array([0, 1], dtype) * eps)
-              - bilinear(prev_img, pts_p - jnp.array([0, 1], dtype) * eps)) / (2 * eps)
+        Au_p = _hat_mat(lp[0] + eps, offs, win, dtype)
+        Au_m = _hat_mat(lp[0] - eps, offs, win, dtype)
+        Av_p = _hat_mat(lp[1] + eps, offs, win, dtype)
+        Av_m = _hat_mat(lp[1] - eps, offs, win, dtype)
+        Av0 = _hat_mat(lp[1], offs, win, dtype)
+        Au0 = _hat_mat(lp[0], offs, win, dtype)
+        gx = Av0 @ Wp @ (Au_p - Au_m).T / (2 * eps)
+        gy = (Av_p - Av_m) @ Wp @ Au0.T / (2 * eps)
         Gxx = jnp.sum(gx * gx)
         Gxy = jnp.sum(gx * gy)
         Gyy = jnp.sum(gy * gy)
@@ -148,7 +194,7 @@ def klt_track(
         ok_G = det > 1e-6
 
         def it(_, uv):
-            cur = bilinear(next_img, uv[None, :] + grid)
+            cur = sample(Wn, uv - corner_n)
             e = cur - tpl
             bx = jnp.sum(e * gx)
             by = jnp.sum(e * gy)
@@ -159,26 +205,28 @@ def klt_track(
             return uv + step
 
         uv_out = jax.lax.fori_loop(0, iters, it, uv_n)
-        return uv_out, ok_G
+        # Final patch error at this level's solution (reused by the level-0
+        # photometric check).
+        err = jnp.mean(jnp.abs(sample(Wn, uv_out - corner_n) - tpl))
+        return uv_out, ok_G, err
 
     def track_one(uv0, v0):
         scale = 2.0 ** (levels - 1)
         uv = uv0 / scale
         ok = v0 > 0
+        err = jnp.zeros((), dtype)
         for lvl in range(levels - 1, -1, -1):
             s = 2.0 ** lvl
             uv_p = uv0 / s
-            uv, ok_G = track_level(uv_p, uv, prev_pyr[lvl], next_pyr[lvl])
+            uv, ok_G, err = track_level(uv_p, uv, prev_pyr[lvl],
+                                        next_pyr[lvl])
             ok = ok & ok_G
             if lvl > 0:
                 uv = uv * 2.0
-        # Final validity: in bounds + photometric error.
+        # Final validity: in bounds + level-0 photometric error.
         H, W = next_pyr[0].shape
         inb = ((uv[0] > radius + 1) & (uv[0] < W - radius - 2)
                & (uv[1] > radius + 1) & (uv[1] < H - radius - 2))
-        tpl = bilinear(prev_pyr[0], uv0[None, :] + grid)
-        cur = bilinear(next_pyr[0], uv[None, :] + grid)
-        err = jnp.mean(jnp.abs(cur - tpl))
         ok = ok & inb & (err < max_error)
         return uv, ok.astype(dtype)
 

@@ -70,6 +70,10 @@ def run_vil(
     lidar_guess_from_vio_idx: np.ndarray | None = None,
     # Fusion init:
     engine_state: E.EngineState = None,
+    # Model parallelism: a (data, model) mesh → the scan-to-map registration
+    # runs sharded over the mesh's model axis (psum-reduced normal equations
+    # per GN iteration, parallel.ops.make_sharded_register).
+    mesh=None,
 ) -> tuple[E.EngineState, VilResult]:
     """Run the full system over one sequence. Front-ends run first (they are
     causal scans); their odometry streams then drive the fusion engine —
@@ -78,16 +82,25 @@ def run_vil(
     LiDAR registration priors come either from ``lidar_pose_guesses`` or
     from the VIO poses at the sweeps' times (``lidar_guess_from_vio_idx``) —
     the reference LOAM's external-prior input (loam_params.yaml
-    extPriorAvailable / extOdomFrame vio_imu)."""
+    extPriorAvailable / extOdomFrame vio_imu).
+
+    ``mesh``: pass a jax.sharding.Mesh with a sized "model" axis to spread
+    ONE sequence's ICP over multiple chips (`cli run --model-devices N`)."""
     # --- Stage 1: VIO ------------------------------------------------------
     _, vio_out = jax.jit(lambda s, f: V.run(cfg.vio, s, f))(
         vio_state, vio_frames)
 
     # --- Stage 2: LiDAR odometry -------------------------------------------
+    register_fn = None
+    if mesh is not None:
+        from ..parallel import ops as POPS
+
+        register_fn = POPS.make_sharded_register(mesh, cfg.lidar.icp)
     if lidar_guess_from_vio_idx is not None:
         lidar_pose_guesses = vio_out.pose[jnp.asarray(lidar_guess_from_vio_idx)]
     _, lidar_out = jax.jit(
-        lambda st, sw, g: L.odometry.run(cfg.lidar, st, sw, g)
+        lambda st, sw, g: L.odometry.run(cfg.lidar, st, sw, g,
+                                         register_fn=register_fn)
     )(lidar_state, sweeps, lidar_pose_guesses)
 
     # --- Stage 3: degeneracy gate on the ICP Hessian -----------------------
@@ -159,6 +172,7 @@ def run_vil_from_bag(
     topics: dict | None = None,
     sweep_stride: int = 4,
     dtype=jnp.float32,
+    mesh=None,
 ):
     """Replay a raw-sensor bag through the FULL stack — bag → organized
     sweeps → LiDAR odometry, bag → images → tracker → EKF, degeneracy gate,
@@ -210,5 +224,6 @@ def run_vil_from_bag(
         ba.lidar_times, ba.sweeps, lidar_state,
         lidar_guess_from_vio_idx=guess_idx,
         engine_state=es,
+        mesh=mesh,
     )
     return es, res, ba

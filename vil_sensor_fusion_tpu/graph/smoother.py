@@ -111,6 +111,19 @@ def _jacobi_solve(H: jnp.ndarray, b: jnp.ndarray, lam) -> jnp.ndarray:
     return s * jnp.linalg.solve(Hs, s * b)
 
 
+def _imu_scatter_const(W: int, dtype) -> jnp.ndarray:
+    """(W-1, D, 30) constant selection tensor: slot s maps its 30-dim
+    (state_s, state_{s+1}) tangent block onto rows [s·15, (s+2)·15) of the
+    stacked window vector. Compile-time constant under jit."""
+    import numpy as np
+
+    S = STATE_DIM
+    P = np.zeros((W - 1, W * S, 2 * S), np.float64)
+    for s_ in range(W - 1):
+        P[s_, s_ * S:(s_ + 2) * S, :] = np.eye(2 * S)
+    return jnp.asarray(P, dtype)
+
+
 def _state_prior_info(cfg: SmootherConfig, dtype) -> jnp.ndarray:
     """15x15 information of the initial prior (tangent order rho,theta,v,b)."""
     sig = jnp.array(
@@ -254,6 +267,10 @@ def _assemble(
         b = b + s.prior_g + s.prior_H @ d0
 
     # --- IMU factors: consecutive pairs, static block offsets -------------
+    # Assembled as ONE dense contraction against a constant block-selection
+    # tensor instead of a fori_loop of dynamic-slice updates: the loop was
+    # ~20 serial tiny ops per slot (pure latency on TPU); the einsum is two
+    # fused matmuls on the MXU.
     r, A_i, A_j, info = _linearize_imu_slots(cfg, s, x)
     if imu_mask is not None:
         info = info * imu_mask[:, None, None]
@@ -261,49 +278,34 @@ def _assemble(
     Hc = jnp.einsum("sri,srq,sqk->sik", A, info, A)      # (W-1, 30, 30)
     bc = jnp.einsum("sri,srq,sq->si", A, info, r)        # (W-1, 30)
 
-    def add_imu(slot, carry):
-        H, b = carry
-        off = slot * STATE_DIM
-        blk = jax.lax.dynamic_slice(H, (off, off), (2 * STATE_DIM, 2 * STATE_DIM))
-        H = jax.lax.dynamic_update_slice(H, blk + Hc[slot], (off, off))
-        vb = jax.lax.dynamic_slice(b, (off,), (2 * STATE_DIM,))
-        b = jax.lax.dynamic_update_slice(b, vb + bc[slot], (off,))
-        return H, b
-
-    H, b = jax.lax.fori_loop(0, W - 1, add_imu, (H, b))
+    P = _imu_scatter_const(W, dtype)                     # (W-1, D, 30)
+    H = H + jnp.einsum("sdi,sij,sej->de", P, Hc, P)
+    b = b + jnp.einsum("sdi,si->d", P, bc)
 
     # --- Between factors: arbitrary (i, j) pairs ---------------------------
+    # Same idea with *dynamic* offsets: build one-hot column-selection
+    # matrices from the slot indices and expand each 6x15 Jacobian to its
+    # 6xD row in a batched matmul — no serial scatter at all. (For a slot
+    # with i == j the expanded Jacobian is the sum A_i + A_j at that block,
+    # algebraically identical to the four-block update.)
     rb, B_i, B_j, binfo = _linearize_between_slots(s, x)
     if btw_mask is not None:
         binfo = binfo * btw_mask[:, None, None]
-    nB = rb.shape[0]
-
-    def add_btw(slot, carry):
-        H, b = carry
-        i = jnp.clip(s.btw_i[slot], 0, W - 1) * STATE_DIM
-        j = jnp.clip(s.btw_j[slot], 0, W - 1) * STATE_DIM
-        Ai, Aj, L, rr = B_i[slot], B_j[slot], binfo[slot], rb[slot]
-        Hii = Ai.T @ L @ Ai
-        Hij = Ai.T @ L @ Aj
-        Hjj = Aj.T @ L @ Aj
-        bi = Ai.T @ (L @ rr)
-        bj = Aj.T @ (L @ rr)
-
-        def upd(H, blk, r0, c0):
-            old = jax.lax.dynamic_slice(H, (r0, c0), (STATE_DIM, STATE_DIM))
-            return jax.lax.dynamic_update_slice(H, old + blk, (r0, c0))
-
-        H = upd(H, Hii, i, i)
-        H = upd(H, Hij, i, j)
-        H = upd(H, Hij.T, j, i)
-        H = upd(H, Hjj, j, j)
-        vi = jax.lax.dynamic_slice(b, (i,), (STATE_DIM,))
-        b = jax.lax.dynamic_update_slice(b, vi + bi, (i,))
-        vj = jax.lax.dynamic_slice(b, (j,), (STATE_DIM,))
-        b = jax.lax.dynamic_update_slice(b, vj + bj, (j,))
-        return H, b
-
-    H, b = jax.lax.fori_loop(0, nB, add_btw, (H, b))
+    iw = jnp.clip(s.btw_i, 0, W - 1)
+    jw = jnp.clip(s.btw_j, 0, W - 1)
+    d_idx = jnp.arange(D)
+    k15 = jnp.arange(STATE_DIM)
+    Mi = (d_idx[None, :, None]
+          == (iw * STATE_DIM)[:, None, None] + k15[None, None, :]
+          ).astype(dtype)                                # (B, D, 15)
+    Mj = (d_idx[None, :, None]
+          == (jw * STATE_DIM)[:, None, None] + k15[None, None, :]
+          ).astype(dtype)
+    Afull = (jnp.einsum("brk,bdk->brd", B_i, Mi)
+             + jnp.einsum("brk,bdk->brd", B_j, Mj))      # (B, 6, D)
+    Lr = jnp.einsum("brq,bq->br", binfo, rb)
+    H = H + jnp.einsum("brd,brq,bqe->de", Afull, binfo, Afull)
+    b = b + jnp.einsum("brd,br->d", Afull, Lr)
     return H, b
 
 
