@@ -90,16 +90,20 @@ def knn_microbench():
     for name, fn in impls.items():
         r = fn(q, t, tm)
         jax.block_until_ready(r)
-        reps = 10
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            r = fn(q, t, tm)
-        jax.block_until_ready(r)
-        dt = (time.perf_counter() - t0) / reps
+        # Best-of-3 trials of 20 reps: the axon tunnel adds multi-hundred-µs
+        # noise spikes; the minimum is the honest kernel time.
+        best = float("inf")
+        for _ in range(3):
+            reps = 20
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                r = fn(q, t, tm)
+            jax.block_until_ready(r)
+            best = min(best, (time.perf_counter() - t0) / reps)
         # The padded distance matmul: 2 * Q * 8 * M FLOPs.
         flops = 2.0 * Q * 8 * M
-        out[name] = {"time_us": dt * 1e6,
-                     "matmul_gflops": flops / dt / 1e9}
+        out[name] = {"time_us": best * 1e6,
+                     "matmul_gflops": flops / best / 1e9}
     return out
 
 
@@ -200,7 +204,7 @@ def main():
         lambda im, p, v: F.candidates_batch(fe_cfg, im, p, v)))
     fe2 = jax.jit(jax.vmap(
         lambda py, cu, cs, cd, iw: F.track_frames(
-            fe_cfg, py, cu, cs, cd, iw, N_SLOTS)))
+            fe_cfg, py, cu, cs, cd, iw, N_SLOTS)[0]))
     vio_run = jax.jit(jax.vmap(lambda s, f: V.run(vio_cfg, s, f)))
     lidar_run = jax.jit(jax.vmap(
         lambda st, sw, g: L.odometry.run(lidar_cfg, st, sw, g)))
@@ -262,7 +266,7 @@ def main():
     fe1p_1 = jax.jit(lambda im: F.pyramids_batch(fe_cfg, im))
     fe1c_1 = jax.jit(lambda im, p, v: F.candidates_batch(fe_cfg, im, p, v))
     fe2_1 = jax.jit(lambda py, cu, cs, cd, iw: F.track_frames(
-        fe_cfg, py, cu, cs, cd, iw, N_SLOTS))
+        fe_cfg, py, cu, cs, cd, iw, N_SLOTS)[0])
     vio_1 = jax.jit(lambda s, f: V.run(vio_cfg, s, f))
     lidar_1 = jax.jit(lambda st, sw, g: L.odometry.run(lidar_cfg, st, sw, g))
     gate_1 = jax.jit(lambda h, n: DG.logdet_gate(h, gate_cfg, n_corr=n))

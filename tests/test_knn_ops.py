@@ -59,7 +59,7 @@ class TestKnnPallasInterpret:
                              jnp.asarray(mask), k=5, target_block=128)
         ip, dp = KNN.knn_pallas(jnp.asarray(q), jnp.asarray(t),
                                 jnp.asarray(mask), k=5, query_block=32,
-                                target_block=128, interpret=True)
+                                interpret=True)
         # Same algorithm but different reduction grouping (the Pallas path
         # runs the distance matmul on padded/transposed f32 tiles), so
         # distances agree to f32 round-off, not bit-exactly.

@@ -73,6 +73,35 @@ def town_world(n_boxes: int = 24, seed: int = 0, extent: float = 60.0,
     return World(plane_n=n, plane_d=d, box_min=bmin, box_max=bmax)
 
 
+def road_world(length: float = 240.0, n_boxes: int | None = None,
+               seed: int = 0, lane_half_width: float = 8.0,
+               max_offset: float = 45.0, dtype=jnp.float32) -> World:
+    """Ground plane + 'buildings' lining a road along +x from 0 to
+    ``length`` — the long-drive world for multi-minute soak runs (the
+    reference's 5:45 Town01 bags drive kilometers of continuous street,
+    sample_bags/README.md). Box density per road-meter is constant, so the
+    sensors see town-like geometry for the whole drive."""
+    if n_boxes is None:
+        n_boxes = max(32, int(length / 2.5))
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    cx = jax.random.uniform(k1, (n_boxes,), dtype, -20.0, length + 20.0)
+    side = jnp.where(jax.random.bernoulli(k4, 0.5, (n_boxes,)), 1.0, -1.0)
+    cy = side * jax.random.uniform(
+        k2, (n_boxes,), dtype, lane_half_width, max_offset)
+    centers = jnp.stack([cx, cy], axis=-1)
+    sizes = jax.random.uniform(k3, (n_boxes, 2), dtype, 2.0, 8.0)
+    heights = jax.random.uniform(
+        jax.random.fold_in(k3, 1), (n_boxes,), dtype, 3.0, 12.0)
+    bmin = jnp.concatenate(
+        [centers - sizes / 2, jnp.zeros((n_boxes, 1), dtype)], axis=-1)
+    bmax = jnp.concatenate(
+        [centers + sizes / 2, heights[:, None]], axis=-1)
+    n = jnp.array([[0.0, 0.0, 1.0]], dtype)
+    d = jnp.array([0.0], dtype)
+    return World(plane_n=n, plane_d=d, box_min=bmin, box_max=bmax)
+
+
 def arena_world(radius: float = 9.0, faces: int = 96,
                 dtype=jnp.float32) -> World:
     """Ground plane + a near-circular wall (``faces``-gon prism) around the

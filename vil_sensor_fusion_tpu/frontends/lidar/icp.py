@@ -64,10 +64,11 @@ def knn(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Masked brute-force KNN: returns (idx (Q,k), dist² (Q,k)), ascending.
 
-    Dispatches to the fused Pallas kernel on TPU / chunked-scan XLA
-    elsewhere (ops/knn.py). Invalid targets get +inf distance; invalid
-    queries return garbage rows the caller must mask (their validity flows
-    through q_mask)."""
+    Dispatches to the fused Pallas kernel on TPU (exact, VMEM-resident
+    distance tile; hardware approx-top-k above its target-count bound),
+    sort-based top-k on CPU, chunked-scan XLA elsewhere (ops/knn.py).
+    Invalid targets get +inf distance; invalid queries return garbage rows
+    the caller must mask (their validity flows through q_mask)."""
     from ...ops import knn as knn_ops
 
     return knn_ops.knn(queries, targets, t_mask, k)

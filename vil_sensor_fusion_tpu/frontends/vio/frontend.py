@@ -262,18 +262,21 @@ def track_frames(
     cand_depth: jnp.ndarray,
     imu_windows: tuple,
     num_slots: int,
-) -> VioFrameInput:
+    ts0: TrackerState | None = None,
+) -> tuple[VioFrameInput, TrackerState]:
     """Phase 2 of the frontend — the inherently sequential part: KLT from
     frame t−1 plus slot replenishment, as one ``lax.scan`` carrying the
-    previous frame's pyramid."""
+    previous frame's pyramid. ``ts0`` continues a previous chunk's tracker
+    (streaming/soak runs); returns the final state for the next chunk."""
     dtype = pyrs[0].dtype
-    ts0 = init_tracker(cfg, num_slots, dtype)
+    if ts0 is None:
+        ts0 = init_tracker(cfg, num_slots, dtype)
 
     def body(ts, x):
         pyr_t, cuv, cscore, cdepth = x
         return _track_and_assign(cfg, ts, tuple(pyr_t), cuv, cscore, cdepth)
 
-    _, (obs_uv, obs_valid, new_uv, new_depth, new_enable) = jax.lax.scan(
+    ts1, (obs_uv, obs_valid, new_uv, new_depth, new_enable) = jax.lax.scan(
         body, ts0, (tuple(pyrs), cand_uv, cand_score, cand_depth))
 
     accel, gyro, dts = imu_windows
@@ -282,7 +285,7 @@ def track_frames(
         dts=jnp.asarray(dts, dtype),
         obs_uv=obs_uv, obs_valid=obs_valid,
         new_uv=new_uv, new_depth=new_depth, new_enable=new_enable,
-    )
+    ), ts1
 
 
 def build_frames(
@@ -310,7 +313,8 @@ def build_frames(
     pyrs = jax.block_until_ready(p_pyr(images))
     cand_uv, cand_score, cand_depth = jax.block_until_ready(
         p_cand(images, points_cam, point_valid))
-    return phase2(pyrs, cand_uv, cand_score, cand_depth, imu_windows)
+    frames, _ = phase2(pyrs, cand_uv, cand_score, cand_depth, imu_windows)
+    return frames
 
 
 @functools.lru_cache(maxsize=16)

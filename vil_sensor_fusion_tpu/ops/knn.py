@@ -111,41 +111,35 @@ def knn_xla(
     return best_i, best_d
 
 
-def _knn_kernel(q_ref, t_ref, tsq_ref, tmask_ref, idx_ref, dist_ref,
-                *, k: int, target_block: int):
-    """Per-query-block kernel. TPU-native data layout:
+def _knn_kernel(q_ref, t_ref, tsq_ref, idx_ref, dist_ref, *, k: int):
+    """Per-query-block kernel, full-row formulation:
 
-    - ``q_ref``    (QB, 8): queries with the coordinate dim zero-padded 3→8
-      so it maps onto a full sublane tile.
-    - ``t_ref``    (n_chunks, 8, TB): targets **transposed and chunked** —
-      each chunk is an (8 sublane, TB lane) tile addressed by a plain loop
-      index (no dynamic minor-dim slicing, which Mosaic cannot prove
-      aligned), and the distance matmul is (QB, 8) @ (8, TB) on the MXU.
-    - ``tsq_ref``/``tmask_ref`` (n_chunks, TB): per-chunk rows.
-    """
+    - ``q_ref``   (QB, 8): queries, coordinate dim zero-padded 3→8 so the
+      matmul maps onto a full sublane tile.
+    - ``t_ref``   (8, M): ALL targets transposed — one (QB, 8) @ (8, M)
+      MXU matmul produces the entire (QB, M) distance tile in VMEM.
+    - ``tsq_ref`` (1, M): ‖t‖² row, +inf at masked targets.
+
+    K-selection is k wide VPU passes over the full row (min, masked
+    index-min, mask-out) — a handful of big vector reductions instead of
+    the per-chunk merge cascade of the old kernel (which was ~10 small
+    reductions × 32 chunks, pure latency)."""
     q = q_ref[:]                           # (QB, 8)
-    n_chunks = t_ref.shape[0]
     QB = q.shape[0]
+    M = t_ref.shape[1]
     q_sq = jnp.sum(q * q, axis=1)[:, None]
-
-    def body(c, carry):
-        best_d, best_i = carry
-        t_chunk = t_ref[c]                 # (8, TB)
-        tsq = tsq_ref[c]                   # (TB,)
-        tm = tmask_ref[c]
-        d = (q_sq
-             - 2.0 * jnp.dot(q, t_chunk,
-                             preferred_element_type=jnp.float32)
-             + tsq[None, :])
-        d = jnp.where(tm[None, :] > 0, d, jnp.inf)
-        nd, ni = _extract_k_minima(d, c * target_block, k)
-        return _merge_sorted(best_d, best_i, nd, ni, k)
-
-    init = (jnp.full((QB, k), jnp.inf, jnp.float32),
-            jnp.zeros((QB, k), jnp.int32))
-    best_d, best_i = jax.lax.fori_loop(0, n_chunks, body, init)
-    idx_ref[:] = best_i
-    dist_ref[:] = best_d
+    d = (q_sq
+         - 2.0 * jnp.dot(q, t_ref[:], preferred_element_type=jnp.float32)
+         + tsq_ref[:])                     # (QB, M); masked cols -> +inf
+    cols = jax.lax.broadcasted_iota(jnp.int32, (QB, M), 1)
+    big_i = jnp.asarray(2**30, jnp.int32)
+    for j in range(k):
+        mn = jnp.min(d, axis=1)                            # (QB,)
+        is_min = d == mn[:, None]
+        am = jnp.min(jnp.where(is_min, cols, big_i), axis=1)
+        idx_ref[:, j] = am
+        dist_ref[:, j] = mn
+        d = jnp.where(cols == am[:, None], jnp.inf, d)
 
 
 def knn_pallas(
@@ -153,38 +147,37 @@ def knn_pallas(
     targets: jnp.ndarray,
     t_mask: jnp.ndarray,
     k: int = K_DEFAULT,
-    query_block: int = QUERY_BLOCK,
-    target_block: int = TARGET_BLOCK,
+    query_block: int = 64,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact fused KNN: the (QB, M) distance tile lives entirely in VMEM —
+    produced by one MXU matmul and consumed by k wide selection passes, no
+    HBM round-trip for the tile. ``query_block`` bounds VMEM at
+    QB·M·4 bytes (64×16384 = 4 MB)."""
     Q = queries.shape[0]
     M = targets.shape[0]
     padQ = (-Q) % query_block
-    padM = (-M) % target_block
+    padM = (-M) % 512
     q = jnp.pad(queries.astype(jnp.float32), ((0, padQ), (0, 5)))
     t = jnp.pad(targets.astype(jnp.float32), ((0, padM), (0, 5)))
     tm = jnp.pad(t_mask.astype(jnp.float32), (0, padM))
-    t_sq = jnp.sum(t * t, axis=-1)
+    # Fold the target mask into the ‖t‖² row: masked columns become +inf
+    # before the kernel ever sees them (one fewer VMEM operand + one fewer
+    # vector op per row).
+    t_sq = jnp.where(tm > 0, jnp.sum(t * t, axis=-1), jnp.inf)
     n_q_blocks = q.shape[0] // query_block
-    n_chunks = t.shape[0] // target_block
+    Mp = t.shape[0]
 
-    # (n_chunks, 8, TB) transposed chunk tiles; (n_chunks, TB) rows.
-    t_cnk = t.reshape(n_chunks, target_block, 8).transpose(0, 2, 1)
-    tsq_cnk = t_sq.reshape(n_chunks, target_block)
-    tm_cnk = tm.reshape(n_chunks, target_block)
-
-    kernel = functools.partial(_knn_kernel, k=k, target_block=target_block)
+    kernel = functools.partial(_knn_kernel, k=k)
     idx, dist = pl.pallas_call(
         kernel,
         grid=(n_q_blocks,),
         in_specs=[
             pl.BlockSpec((query_block, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(t_cnk.shape, lambda i: (0, 0, 0),
+            pl.BlockSpec((8, Mp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(tsq_cnk.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(tm_cnk.shape, lambda i: (0, 0),
+            pl.BlockSpec((1, Mp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -198,7 +191,7 @@ def knn_pallas(
             jax.ShapeDtypeStruct((q.shape[0], k), jnp.float32),
         ],
         interpret=interpret,
-    )(q, t_cnk, tsq_cnk, tm_cnk)
+    )(q, t.T, t_sq[None, :])
     return idx[:Q], dist[:Q].astype(queries.dtype)
 
 
@@ -262,17 +255,24 @@ def knn_approx(
     return (idx.reshape(-1, k)[:Q], d2.reshape(-1, k)[:Q])
 
 
+PALLAS_MAX_TARGETS = 16384   # (QB=64, M) distance tile + iota ≤ 8 MB VMEM
+
+
 def knn(
     queries: jnp.ndarray,
     targets: jnp.ndarray,
     t_mask: jnp.ndarray,
     k: int = K_DEFAULT,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Dispatch: hardware approx-top-k on TPU (the ICP correspondence
-    path tolerates ≥0.95 recall; use knn_pallas/knn_xla directly for exact
-    results), sort-based top_k on CPU, chunked-scan XLA elsewhere."""
+    """Dispatch: the fused Pallas kernel on TPU (exact, and the fastest
+    measured path — 38 µs vs 51 µs XLA / 50 µs approx-top-k at 4096×16k),
+    falling back to the hardware approx-top-k for target sets too large for
+    the kernel's VMEM-resident distance tile; sort-based top_k on CPU,
+    chunked-scan XLA elsewhere."""
     platform = jax.devices()[0].platform
     if platform == "tpu":
+        if targets.shape[0] <= PALLAS_MAX_TARGETS:
+            return knn_pallas(queries, targets, t_mask, k)
         return knn_approx(queries, targets, t_mask, k)
     if platform == "cpu":
         return knn_topk(queries, targets, t_mask, k)
