@@ -85,7 +85,7 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=160, cam_h=120, speed=4.0,
                               min_score=0.5)
     lidar_cfg = L.LidarOdomConfig(
         icp=L.IcpConfig(iters=6, degen_eigval=5.0), two_stage=True,
-        undistort=True)
+        undistort=True, guess_is_delta=True)
     gate_cfg = DG.GateConfig(rot_threshold=4.0, trans_threshold=-6.0,
                              normalize_per_corr=True)
     fusion_cfg = fu.FusionConfig(
@@ -103,8 +103,8 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=160, cam_h=120, speed=4.0,
         world, poses_cam, cam))
     p_pyr = jax.jit(lambda im: F.pyramids_batch(fe_cfg, im))
     p_cand = jax.jit(lambda im, p, v: F.candidates_batch(fe_cfg, im, p, v))
-    p_track = jax.jit(lambda py, cu, cs, cd, iw, ts: F.track_frames(
-        fe_cfg, py, cu, cs, cd, iw, vio_cfg.num_landmarks, ts0=ts))
+    p_track = jax.jit(lambda py, cu, cs, cd, dm, iw, ts: F.track_frames(
+        fe_cfg, py, cu, cs, cd, dm, iw, vio_cfg.num_landmarks, ts0=ts))
     vio_run = jax.jit(lambda s, f: V.run(vio_cfg, s, f))
     lidar_run = jax.jit(lambda st, sw, g: L.odometry.run(
         lidar_cfg, st, sw, g))
@@ -119,9 +119,10 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=160, cam_h=120, speed=4.0,
     state = dict(
         tracker=F.init_tracker(fe_cfg, vio_cfg.num_landmarks, dtype),
         vio=V.init(vio_cfg, pose0, vel0, jnp.zeros(6, dtype)),
-        lidar=L.odometry.init(lidar_cfg, dtype),
+        lidar=L.odometry.init(lidar_cfg, dtype, pose0=pose0),
         engine=fu.init(fusion_cfg, pose0, vel0, jnp.zeros(6, dtype),
                        t0j - 1e-3),
+        vio_ref=pose0,     # VIO pose at the previous sweep's frame
     )
 
     def run_chunks(state, k0, k1, collect):
@@ -160,19 +161,22 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=160, cam_h=120, speed=4.0,
             imu_t = imu_t0 + jnp.arange(n_imu, dtype=dtype) / imu_hz
             imu = syn.sample_imu(traj, imu_t)
             imu_w = V.synthetic.imu_windows_for_frames(
-                traj, vio_times, imu_hz=imu_hz, dtype=dtype)
+                traj, vio_times, imu_hz=imu_hz, dtype=dtype, t_start=tc0)
 
             t_c = time.perf_counter()
             py = jax.block_until_ready(p_pyr(images))
-            cu, cs, cd = jax.block_until_ready(
+            cu, cs, cd, dm = jax.block_until_ready(
                 p_cand(images, pts_cam.astype(dtype), sw_msk.astype(dtype)))
             frames, ts1 = jax.block_until_ready(
-                p_track(py, cu, cs, cd, imu_w, state["tracker"]))
+                p_track(py, cu, cs, cd, dm, imu_w, state["tracker"]))
             vs1, vio_out = jax.block_until_ready(
                 vio_run(state["vio"], frames))
             guess_idx = np.clip(np.searchsorted(
                 vio_times, lidar_times + 1e-9) - 1, 0, None)
-            guesses = vio_out.pose[jnp.asarray(guess_idx)]
+            vio_sel = vio_out.pose[jnp.asarray(guess_idx)]
+            prev_sel = jnp.concatenate(
+                [state["vio_ref"][None], vio_sel[:-1]], axis=0)
+            guesses = jax.vmap(lie.pose_between)(prev_sel, vio_sel)
             ls1, lidar_out = jax.block_until_ready(
                 lidar_run(state["lidar"], sweeps, guesses))
             gres = jax.block_until_ready(
@@ -191,24 +195,35 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=160, cam_h=120, speed=4.0,
                 imu.accel.astype(dtype), imu.gyro.astype(dtype)))
             wall = time.perf_counter() - t_c
 
-            state = dict(tracker=ts1, vio=vs1, lidar=ls1, engine=es1)
+            state = dict(tracker=ts1, vio=vs1, lidar=ls1, engine=es1,
+                         vio_ref=vio_sel[-1])
             gt = np.asarray(jax.vmap(traj.pose_fn)(tl.times))
             err = np.linalg.norm(np.asarray(fused.poses)[:, 4:7]
                                  - gt[:, 4:7], axis=-1)
+            verr = np.linalg.norm(
+                np.asarray(vio_out.pose)[:, 4:7]
+                - np.asarray(poses_v)[:, 4:7], axis=-1)
+            lerr = np.linalg.norm(
+                np.asarray(lidar_out.pose)[:, 4:7]
+                - np.asarray(poses_l)[:, 4:7], axis=-1)
             collect.append(dict(
                 chunk=k, t0=tc0,
                 wall_s=wall,
                 err_mean=float(err.mean()), err_max=float(err.max()),
+                vio_err_max=float(verr.max()),
+                lidar_err_max=float(lerr.max()),
                 map_corner=float(jnp.sum(ls1.corner_map.mask)),
                 map_surf=float(jnp.sum(ls1.surf_map.mask)),
                 keep=float(np.asarray(gres.keep).mean()),
                 healthy=float(np.asarray(fused.healthy).mean()),
                 last_pose=np.asarray(fused.poses)[-1],
             ))
-            log(f"chunk {k + 1}/{n_chunks}: err mean {err.mean():.2f} max "
-                f"{err.max():.2f} m, map {collect[-1]['map_corner']:.0f}"
+            log(f"chunk {k + 1}/{n_chunks}: fused err mean {err.mean():.2f}"
+                f" max {err.max():.2f} m (vio {verr.max():.2f}, lidar "
+                f"{lerr.max():.2f}), map {collect[-1]['map_corner']:.0f}"
                 f"/{collect[-1]['map_surf']:.0f}, keep "
-                f"{collect[-1]['keep']:.2f}, {wall:.2f}s wall "
+                f"{collect[-1]['keep']:.2f}, healthy "
+                f"{collect[-1]['healthy']:.2f}, {wall:.2f}s wall "
                 f"({chunk / wall:.1f}x RT)")
         return state
 
@@ -224,9 +239,10 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=160, cam_h=120, speed=4.0,
         fresh = dict(
             tracker=F.init_tracker(fe_cfg, vio_cfg.num_landmarks, dtype),
             vio=V.init(vio_cfg, pose0, vel0, jnp.zeros(6, dtype)),
-            lidar=L.odometry.init(lidar_cfg, dtype),
+            lidar=L.odometry.init(lidar_cfg, dtype, pose0=pose0),
             engine=fu.init(fusion_cfg, pose0, vel0, jnp.zeros(6, dtype),
                            t0j - 1e-3),
+            vio_ref=pose0,
         )
         restored = U.restore(os.path.join(checkpoint_dir, "soak.npz"),
                              fresh)

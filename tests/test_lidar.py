@@ -249,7 +249,10 @@ class TestOdometryPipeline:
         poses_gt = jax.vmap(lambda x: _pose(x=x))(xs)
         sweeps = rc.sweep_series(w, poses_gt)
 
-        cfg = L.LidarOdomConfig(icp=L.IcpConfig(iters=8, degen_eigval=5.0))
+        # Clean (already-undistorted) sweeps: undistortion off — its
+        # behavior on distorted captures is covered by TestUndistort.
+        cfg = L.LidarOdomConfig(icp=L.IcpConfig(iters=8, degen_eigval=5.0),
+                                undistort=False)
         st = L.odometry.init(cfg, DTYPE)
 
         @jax.jit
@@ -287,7 +290,7 @@ class TestTwoStage:
 
         cfg = L.LidarOdomConfig(
             icp=L.IcpConfig(iters=8, degen_eigval=5.0),
-            two_stage=True)
+            two_stage=True, undistort=False)   # clean sweeps
         st = L.odometry.init(cfg, DTYPE)
 
         @jax.jit

@@ -31,11 +31,16 @@ class TestDepthMap:
         # point (64, 48) → cell (6, 8).
         pts = jnp.array([[0.0, 0.0, 5.0]], DTYPE)
         dmap = F.lidar_depth_map(cfg, pts, jnp.ones(1, DTYPE))
-        assert dmap.shape == (96 // 8, 128 // 8)
+        assert dmap.shape == (96 // 8, 128 // 8, 3)
         d = F.depth_at(cfg, dmap, jnp.array([[64.0, 48.0]], DTYPE))
         np.testing.assert_allclose(np.asarray(d), [5.0], atol=1e-6)
 
-    def test_min_depth_wins(self):
+    def test_angularly_nearest_point_wins(self):
+        # Two points in one cell: the cell keeps its most CENTRAL projected
+        # point ((67.3, 51.3), nearer the cell center than (64, 48)), and a
+        # query returns that stored point's depth — nearest-in-image
+        # association, not min-depth (which foreground-biases landmark
+        # ranges and collapses VIO scale).
         cfg = self._cfg()
         pts = jnp.array([[0.0, 0.0, 5.0], [0.1, 0.1, 3.0]], DTYPE)
         dmap = F.lidar_depth_map(cfg, pts, jnp.ones(2, DTYPE))
@@ -50,7 +55,7 @@ class TestDepthMap:
 
     def test_no_depth_returns_zero(self):
         cfg = self._cfg()
-        dmap = jnp.zeros((12, 16), DTYPE)
+        dmap = jnp.zeros((12, 16, 3), DTYPE)
         d = F.depth_at(cfg, dmap, jnp.array([[64.0, 48.0]], DTYPE))
         assert float(d[0]) == 0.0
 

@@ -66,7 +66,11 @@ def _resolve_run_config(args, default_rig=None):
     vio_cfg, fe_cfg = default_rig or _bag_rig()
     cfg = vil.VilConfig(
         vio=vio_cfg,
-        lidar=L.LidarOdomConfig(icp=L.IcpConfig(iters=6, degen_eigval=5.0)),
+        lidar=L.LidarOdomConfig(
+            icp=L.IcpConfig(iters=4, degen_eigval=5.0),
+            odom_icp=L.IcpConfig(iters=5, max_corr_dist=2.0,
+                                 degen_eigval=5.0),
+            guess_is_delta=True),
         gate=DG.GateConfig(rot_threshold=4.0, trans_threshold=-6.0,
                            normalize_per_corr=True),
         fusion=fu.FusionConfig(
@@ -172,7 +176,8 @@ def cmd_run(args):
         cfg, sc.imu_times, sc.imu_accel, sc.imu_gyro,
         sc.vio_times, sc.vio_frames,
         V.init(cfg.vio, pose0, vel0, jnp.zeros(6, dtype)),
-        sc.lidar_times, sc.sweeps, L.odometry.init(cfg.lidar, dtype),
+        sc.lidar_times, sc.sweeps,
+        L.odometry.init(cfg.lidar, dtype, pose0=pose0),
         lidar_guess_from_vio_idx=sc.lidar_guess_idx,
         engine_state=fu.init(cfg.fusion, pose0, vel0, jnp.zeros(6, dtype), t0),
         mesh=_model_mesh(args),

@@ -201,6 +201,7 @@ def lidar_config_from_dict(d: dict):
         submap_surfs=int(d.get("submap_surfs", 8192)),
         submap_radius=float(d.get("submap_radius", 100.0)),
         submap_approx=bool(d.get("submap_approx", True)),
+        guess_is_delta=bool(d.get("guess_is_delta", True)),
     )
 
 

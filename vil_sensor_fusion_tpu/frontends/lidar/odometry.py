@@ -70,6 +70,12 @@ class LidarOdomConfig(NamedTuple):
     submap_approx: bool = True
     # Covariance scale: cov = cost/(n-6) · H⁻¹ (standard GN posterior).
     min_dof: float = 12.0
+    # Interpret ``pose_guess`` as the RELATIVE motion since the previous
+    # sweep, composed onto the odometry's own last pose — the robust prior
+    # construction (the reference's LOAM consumes the external odometry as
+    # motion, not as an absolute anchor): the external estimator's absolute
+    # drift cancels, only its (accurate) short-horizon delta enters.
+    guess_is_delta: bool = False
     # Sweep grid (for the prev-sweep feature-pool shapes in two_stage mode).
     rings: int = RI.RINGS
     azimuth: int = RI.AZIMUTH
@@ -112,12 +118,16 @@ def _zero_dists(cfg: LidarOdomConfig, dtype) -> I.PerturbationDists:
     )
 
 
-def init(cfg: LidarOdomConfig, dtype=jnp.float32) -> LidarOdomState:
+def init(cfg: LidarOdomConfig, dtype=jnp.float32,
+         pose0: jnp.ndarray | None = None) -> LidarOdomState:
+    """``pose0``: initial world_T_sensor (required in guess_is_delta mode
+    when the trajectory does not start at the origin)."""
     nc, ns = feat.pool_sizes(cfg.rings, cfg.azimuth)
     return LidarOdomState(
         corner_map=vm.empty(cfg.corner_map, dtype),
         surf_map=vm.empty(cfg.surf_map, dtype),
-        pose=lie.pose_identity(dtype),
+        pose=lie.pose_identity(dtype) if pose0 is None
+        else jnp.asarray(pose0, dtype),
         initialized=jnp.zeros((), dtype),
         prev_corners=jnp.zeros((nc, 3), dtype),
         prev_corner_mask=jnp.zeros((nc,), dtype),
@@ -149,6 +159,8 @@ def step(
     """
     dtype = state.pose.dtype
     has_map = state.initialized > 0
+    if cfg.guess_is_delta:
+        pose_guess = lie.pose_compose(state.pose, pose_guess)
 
     # --- Stage 0: motion undistortion ---------------------------------------
     if cfg.undistort:

@@ -42,6 +42,14 @@ class VioConfig(NamedTuple):
     pixel_sigma: float = 1.0
     update_iters: int = 2            # iterated EKF passes (ROVIO-style)
     chi2_gate: float = 9.21          # 2-dof 99% gate per feature
+    # Continuous LiDAR depth updates (the full useDepthFromLiDAR story):
+    # besides seeding new landmarks, every frame the sweep's depth at each
+    # TRACKED feature enters the update as a range measurement along the
+    # camera ray — the absolute-scale anchor that stops the monocular-style
+    # scale drift a forward-motion VIO otherwise accumulates.
+    use_depth_update: bool = True
+    depth_sigma_update: float = 0.5  # per-measurement σ (m)
+    depth_chi2_gate: float = 6.63    # 1-dof 99% gate
     cam: C.Camera = C.carla_camera()
     # camera-from-imu extrinsics (identity: camera at the IMU, z forward)
     pose_ic: tuple = (1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
@@ -204,50 +212,83 @@ def _predict_pixels(cfg: VioConfig, s: VioState):
     return C.project(cfg.cam, p_cam)
 
 
+def _predict_cam_z(cfg: VioConfig, s: VioState) -> jnp.ndarray:
+    """Per-landmark depth along the camera optical axis (M,)."""
+    pose_wc = lie.pose_compose(s.pose, jnp.asarray(cfg.pose_ic, s.pose.dtype))
+    p_cam = lie.quat_rotate(
+        lie.quat_conjugate(lie.pose_quat(pose_wc))[None],
+        s.landmarks - lie.pose_trans(pose_wc)[None])
+    return p_cam[..., 2]
+
+
 def update(
     cfg: VioConfig,
     s: VioState,
     obs_uv: jnp.ndarray,     # (M, 2) measured pixels per landmark slot
     obs_valid: jnp.ndarray,  # (M,) 0/1
+    obs_depth: jnp.ndarray | None = None,   # (M,) LiDAR depth, 0 = none
 ) -> VioState:
-    """Iterated EKF update from tracked-feature observations.
+    """Iterated EKF update from tracked-feature observations, plus (when
+    ``obs_depth`` is given and cfg.use_depth_update) per-feature LiDAR
+    range measurements along the camera axis — the continuous
+    useDepthFromLiDAR scale anchor.
 
-    Masked features get effectively infinite measurement variance; a χ²
-    gate additionally drops outlier tracks (ROVIO's Mahalanobis check)."""
+    Masked features get effectively infinite measurement variance; χ²
+    gates additionally drop outlier tracks / depths (ROVIO's Mahalanobis
+    check)."""
     dtype = s.pose.dtype
     M = cfg.num_landmarks
     D = _dim(cfg)
     R_pix = cfg.pixel_sigma ** 2
+    R_dep = cfg.depth_sigma_update ** 2
+    use_d = cfg.use_depth_update and obs_depth is not None
     s0 = s
+    big = jnp.asarray(1e12, dtype)
 
-    def one_iter(_, s_i):
-        # Residual and Jacobian at current iterate, reference linearization
-        # error relative to s0 (standard IEKF form).
-        def h_of(dx):
-            sp = _retract(cfg, s0, dx)
-            uv, _ = _predict_pixels(cfg, sp)
-            return uv.reshape(-1)
+    def h_of(dx):
+        sp = _retract(cfg, s0, dx)
+        uv, _ = _predict_pixels(cfg, sp)
+        if use_d:
+            return jnp.concatenate([uv.reshape(-1),
+                                    _predict_cam_z(cfg, sp)])
+        return uv.reshape(-1)
 
+    def measurement(s_i):
+        """(r, H, R_eff) at linearization point s_i (gating included)."""
         dx_i = _boxminus(cfg, s_i, s0)
-        pred = h_of(dx_i).reshape(M, 2)
-        H = jax.jacfwd(h_of)(dx_i)                    # (2M, D)
-        r = (obs_uv - pred).reshape(-1)               # (2M,)
+        pred = h_of(dx_i)
+        H = jax.jacfwd(h_of)(dx_i)                    # (2M[+M], D)
+        r_uv = (obs_uv - pred[:2 * M].reshape(M, 2)).reshape(-1)
 
         _, vis = _predict_pixels(cfg, s_i)
         w = obs_valid * s.lm_valid * vis.astype(dtype)
 
-        # χ² gate per landmark on the innovation.
-        HP = H @ s0.cov                               # (2M, D)
-        S_diag = jnp.einsum("md,md->m", HP, H) + R_pix
-        r2 = r * r
-        chi2 = (r2[0::2] / S_diag[0::2] + r2[1::2] / S_diag[1::2])
-        w = w * (chi2 < cfg.chi2_gate).astype(dtype)
+        HP = H @ s0.cov                               # (2M[+M], D)
+        S_diag = jnp.einsum("md,md->m", HP, H)
+        r2 = r_uv * r_uv
+        chi2 = (r2[0::2] / (S_diag[0:2 * M:2] + R_pix)
+                + r2[1::2] / (S_diag[1:2 * M:2] + R_pix))
+        w_pix = w * (chi2 < cfg.chi2_gate).astype(dtype)
+        if use_d:
+            r_d = obs_depth - pred[2 * M:]
+            chi2_d = r_d * r_d / (S_diag[2 * M:] + R_dep)
+            w_d = (w_pix * (obs_depth > 0)
+                   * (chi2_d < cfg.depth_chi2_gate).astype(dtype))
+            r = jnp.concatenate([r_uv, r_d])
+            w_rows = jnp.concatenate([jnp.repeat(w_pix, 2), w_d])
+            R_rows = jnp.concatenate([jnp.full((2 * M,), R_pix, dtype),
+                                      jnp.full((M,), R_dep, dtype)])
+        else:
+            r = r_uv
+            w_rows = jnp.repeat(w_pix, 2)
+            R_rows = jnp.full((2 * M,), R_pix, dtype)
+        R_eff = jnp.where(w_rows > 0, R_rows, big)
+        return r, H, HP, R_eff, dx_i
 
-        w2 = jnp.repeat(w, 2)
-        big = jnp.asarray(1e12, dtype)
-        R_eff = jnp.where(w2 > 0, R_pix, big)
+    def one_iter(_, s_i):
+        r, H, HP, R_eff, dx_i = measurement(s_i)
         S = HP @ H.T + jnp.diag(R_eff)
-        K = jnp.linalg.solve(S, HP).T                 # (D, 2M)
+        K = jnp.linalg.solve(S, HP).T
         # IEKF (Bell–Cathey): minimize ‖dx‖²_{P0} + ‖z − h(s0⊞dx)‖²_R with h
         # linearized at the current iterate: dx* = K (r + H·dx_i).
         return _retract(cfg, s0, K @ (r + H @ dx_i))
@@ -255,24 +296,7 @@ def update(
     s_new = jax.lax.fori_loop(0, cfg.update_iters, one_iter, s)
 
     # Covariance update (Joseph) at the final linearization point.
-    def h_of(dx):
-        sp = _retract(cfg, s0, dx)
-        uv, _ = _predict_pixels(cfg, sp)
-        return uv.reshape(-1)
-
-    dx_f = _boxminus(cfg, s_new, s0)
-    H = jax.jacfwd(h_of)(dx_f)
-    pred = h_of(dx_f).reshape(M, 2)
-    _, vis = _predict_pixels(cfg, s_new)
-    w = obs_valid * s.lm_valid * vis.astype(dtype)
-    r = (obs_uv - pred).reshape(-1)
-    HP = H @ s0.cov
-    S_diag = jnp.einsum("md,md->m", HP, H) + R_pix
-    r2 = r * r
-    chi2 = (r2[0::2] / S_diag[0::2] + r2[1::2] / S_diag[1::2])
-    w = w * (chi2 < cfg.chi2_gate).astype(dtype)
-    w2 = jnp.repeat(w, 2)
-    R_eff = jnp.where(w2 > 0, R_pix, jnp.asarray(1e12, dtype))
+    r, H, HP, R_eff, _ = measurement(s_new)
     S = HP @ H.T + jnp.diag(R_eff)
     K = jnp.linalg.solve(S, HP).T
     I_KH = jnp.eye(D, dtype=dtype) - K @ H

@@ -76,17 +76,22 @@ def lidar_depth_map(
     points_cam: jnp.ndarray,       # (P, 3) sweep points in the camera frame
     point_valid: jnp.ndarray,      # (P,)
 ) -> jnp.ndarray:
-    """Splat sweep points into a coarse (H/g, W/g) min-depth grid.
+    """Splat sweep points into a coarse (H/g, W/g, 3) grid of
+    (depth, u, v): each cell stores its ANGULARLY MOST CENTRAL projected
+    point — the depth associated with a feature is that of the LiDAR return
+    closest in the image, not the nearest-in-range surface in the cell (a
+    min-depth cell systematically under-ranges landmarks: foreground bias
+    → monocular-style scale collapse of the whole VIO).
 
-    0 = no depth available in that cell.
+    depth 0 = no point in the cell.
 
-    TPU note: implemented as a dense masked min over a (cells, P) comparison
-    tile rather than a scatter-min — XLA serializes batched scatters on TPU
-    (a vmapped `.at[].min` over 80 frames ran long enough to trip device
-    timeouts), while the dense compare is a single VPU-friendly reduction.
-    At the default 8-px grid this is ~2k×7k per frame; callers at higher
-    camera resolutions should scale ``depth_grid`` to keep the angular cell
-    size (and this tile) constant."""
+    TPU note: implemented as dense masked reductions over a (cells, P)
+    comparison tile rather than a scatter — XLA serializes batched scatters
+    on TPU (a vmapped `.at[].min` over 80 frames ran long enough to trip
+    device timeouts), while the dense compare is a few VPU-friendly
+    reductions. At the default 8-px grid this is ~2k×7k per frame; callers
+    at higher camera resolutions should scale ``depth_grid`` to keep the
+    angular cell size (and this tile) constant."""
     dtype = points_cam.dtype
     g = cfg.depth_grid
     Hg = cfg.cam.height // g
@@ -101,28 +106,51 @@ def lidar_depth_map(
     big = jnp.asarray(1e9, dtype)
     cell_ids = jnp.arange(C_cells, dtype=jnp.int32)
     hit = cell_ids[:, None] == flat[None, :]              # (cells, P)
-    grid = jnp.min(jnp.where(hit, z[None, :], big), axis=1)
-    grid = jnp.where(grid < big, grid, 0.0)
-    return grid.reshape(Hg, Wg)
+    # Representative point per cell: minimal pixel offset to cell center.
+    ctr_u = ((cell_ids % Wg).astype(dtype) + 0.5) * g
+    ctr_v = ((cell_ids // Wg).astype(dtype) + 0.5) * g
+    off2 = ((uv[None, :, 0] - ctr_u[:, None]) ** 2
+            + (uv[None, :, 1] - ctr_v[:, None]) ** 2)
+    off2 = jnp.where(hit, off2, big)
+    best = jnp.min(off2, axis=1)                          # (cells,)
+    sel = off2 <= best[:, None]
+    pick = lambda val: jnp.min(jnp.where(sel & hit, val[None, :], big),
+                               axis=1)
+    depth = pick(z)
+    pu = pick(uv[..., 0])
+    pv = pick(uv[..., 1])
+    empty = best >= big
+    grid = jnp.stack([jnp.where(empty, 0.0, depth),
+                      jnp.where(empty, 0.0, pu),
+                      jnp.where(empty, 0.0, pv)], axis=-1)
+    return grid.reshape(Hg, Wg, 3)
 
 
 def depth_at(cfg: FrontendConfig, depth_map: jnp.ndarray,
              uv: jnp.ndarray) -> jnp.ndarray:
-    """Query the nearest available depth in a (2s+1)² cell neighborhood of
-    each pixel. Returns (N,) depths, 0 where none available."""
+    """Query each pixel's depth: among the (2s+1)² neighboring cells, take
+    the stored point CLOSEST IN THE IMAGE to the query (the ROVIO
+    useDepthFromLiDAR association). Returns (N,) depths, 0 where none
+    available."""
     dtype = depth_map.dtype
-    Hg, Wg = depth_map.shape
+    Hg, Wg, _ = depth_map.shape
     g = cfg.depth_grid
     s = cfg.depth_search
     cu = jnp.clip((uv[..., 0] / g).astype(jnp.int32), 0, Wg - 1)
     cv = jnp.clip((uv[..., 1] / g).astype(jnp.int32), 0, Hg - 1)
+    big = jnp.asarray(1e12, dtype)
+    best_d2 = jnp.full(uv.shape[:-1], big, dtype)
     best = jnp.zeros(uv.shape[:-1], dtype)
     for dv in range(-s, s + 1):
         for du in range(-s, s + 1):
-            d = depth_map[jnp.clip(cv + dv, 0, Hg - 1),
-                          jnp.clip(cu + du, 0, Wg - 1)]
-            take = (best == 0) | ((d > 0) & (d < best))
-            best = jnp.where(take & (d > 0), d, best)
+            cell = depth_map[jnp.clip(cv + dv, 0, Hg - 1),
+                             jnp.clip(cu + du, 0, Wg - 1)]
+            d, pu, pv = cell[..., 0], cell[..., 1], cell[..., 2]
+            d2 = (pu - uv[..., 0]) ** 2 + (pv - uv[..., 1]) ** 2
+            d2 = jnp.where(d > 0, d2, big)
+            take = d2 < best_d2
+            best_d2 = jnp.where(take, d2, best_d2)
+            best = jnp.where(take, d, best)
     return best
 
 
@@ -137,9 +165,11 @@ def _track_and_assign(
     cand_uv: jnp.ndarray,          # (C, 2) detection candidates
     cand_score: jnp.ndarray,       # (C,)
     cand_depth: jnp.ndarray,       # (C,) LiDAR depth per candidate (0 = none)
+    dmap: jnp.ndarray,             # (Hg, Wg, 3) this frame's depth map
 ) -> tuple[TrackerState, tuple]:
-    """The sequential core of one frontend step: continue tracks via KLT and
-    fill freed slots from the (precomputed) candidate set."""
+    """The sequential core of one frontend step: continue tracks via KLT,
+    query each continued track's LiDAR depth (the EKF's continuous scale
+    anchor), and fill freed slots from the (precomputed) candidate set."""
     dtype = ts.uv.dtype
     M = ts.uv.shape[0]
 
@@ -149,6 +179,7 @@ def _track_and_assign(
         radius=cfg.klt_radius, iters=cfg.klt_iters,
         max_error=cfg.klt_max_error)
     obs_valid = obs_valid * ts.valid   # dead slots stay dead through KLT
+    obs_depth = depth_at(cfg, dmap, obs_uv) * obs_valid
 
     # 2. Filter candidates: drop those near live tracks or without depth.
     d2 = jnp.sum(
@@ -185,7 +216,7 @@ def _track_and_assign(
     valid_next = jnp.maximum(obs_valid, new_enable)
     return (
         TrackerState(pyr=pyr_new, uv=uv_next, valid=valid_next),
-        (obs_uv, obs_valid, new_uv, new_depth, new_enable),
+        (obs_uv, obs_valid, obs_depth, new_uv, new_depth, new_enable),
     )
 
 
@@ -205,7 +236,7 @@ def frontend_step(
         border=cfg.border)
     cand_depth = depth_at(cfg, dmap, cand_uv)
     return _track_and_assign(cfg, ts, pyr_new, cand_uv, cand_score,
-                             cand_depth)
+                             cand_depth, dmap)
 
 
 def pyramids_batch(cfg: FrontendConfig, images: jnp.ndarray):
@@ -220,15 +251,16 @@ def candidates_batch(
     points_cam: jnp.ndarray,       # (T, P, 3)
     point_valid: jnp.ndarray,      # (T, P)
 ):
-    """Batched Shi-Tomasi detection + LiDAR candidate depths for all
-    frames: (cand_uv (T,C,2), cand_score (T,C), cand_depth (T,C))."""
+    """Batched Shi-Tomasi detection + LiDAR depth maps + candidate depths
+    for all frames: (cand_uv (T,C,2), cand_score (T,C), cand_depth (T,C),
+    dmaps (T,Hg,Wg,3))."""
     cand_uv, cand_score = jax.vmap(
         lambda im: T.detect(im, cfg.n_candidates, nms_radius=cfg.nms_radius,
                             border=cfg.border))(images)
     dmaps = jax.vmap(lambda p, v: lidar_depth_map(cfg, p, v))(
         points_cam, point_valid)
     cand_depth = jax.vmap(lambda d, uv: depth_at(cfg, d, uv))(dmaps, cand_uv)
-    return cand_uv, cand_score, cand_depth
+    return cand_uv, cand_score, cand_depth, dmaps
 
 
 def precompute_frames(
@@ -249,9 +281,9 @@ def precompute_frames(
     Returns (pyramids tuple of (T, h_l, w_l), cand_uv (T,C,2),
     cand_score (T,C), cand_depth (T,C))."""
     pyrs = pyramids_batch(cfg, images)
-    cand_uv, cand_score, cand_depth = candidates_batch(
+    cand_uv, cand_score, cand_depth, dmaps = candidates_batch(
         cfg, images, points_cam, point_valid)
-    return pyrs, cand_uv, cand_score, cand_depth
+    return pyrs, cand_uv, cand_score, cand_depth, dmaps
 
 
 def track_frames(
@@ -260,6 +292,7 @@ def track_frames(
     cand_uv: jnp.ndarray,
     cand_score: jnp.ndarray,
     cand_depth: jnp.ndarray,
+    dmaps: jnp.ndarray,
     imu_windows: tuple,
     num_slots: int,
     ts0: TrackerState | None = None,
@@ -273,17 +306,20 @@ def track_frames(
         ts0 = init_tracker(cfg, num_slots, dtype)
 
     def body(ts, x):
-        pyr_t, cuv, cscore, cdepth = x
-        return _track_and_assign(cfg, ts, tuple(pyr_t), cuv, cscore, cdepth)
+        pyr_t, cuv, cscore, cdepth, dmap = x
+        return _track_and_assign(cfg, ts, tuple(pyr_t), cuv, cscore,
+                                 cdepth, dmap)
 
-    ts1, (obs_uv, obs_valid, new_uv, new_depth, new_enable) = jax.lax.scan(
-        body, ts0, (tuple(pyrs), cand_uv, cand_score, cand_depth))
+    ts1, (obs_uv, obs_valid, obs_depth, new_uv, new_depth, new_enable) = \
+        jax.lax.scan(
+            body, ts0, (tuple(pyrs), cand_uv, cand_score, cand_depth,
+                        dmaps))
 
     accel, gyro, dts = imu_windows
     return VioFrameInput(
         accel=jnp.asarray(accel, dtype), gyro=jnp.asarray(gyro, dtype),
         dts=jnp.asarray(dts, dtype),
-        obs_uv=obs_uv, obs_valid=obs_valid,
+        obs_uv=obs_uv, obs_valid=obs_valid, obs_depth=obs_depth,
         new_uv=new_uv, new_depth=new_depth, new_enable=new_enable,
     ), ts1
 
@@ -311,9 +347,10 @@ def build_frames(
     # previous executes faults the axon-tunnel TPU runtime (µs-level cost on
     # this host-orchestrated path).
     pyrs = jax.block_until_ready(p_pyr(images))
-    cand_uv, cand_score, cand_depth = jax.block_until_ready(
+    cand_uv, cand_score, cand_depth, dmaps = jax.block_until_ready(
         p_cand(images, points_cam, point_valid))
-    frames, _ = phase2(pyrs, cand_uv, cand_score, cand_depth, imu_windows)
+    frames, _ = phase2(pyrs, cand_uv, cand_score, cand_depth, dmaps,
+                       imu_windows)
     return frames
 
 
@@ -324,8 +361,8 @@ def _frontend_programs(cfg: FrontendConfig, num_slots: int):
     p_pyr = jax.jit(lambda im: pyramids_batch(cfg, im))
     p_cand = jax.jit(lambda im, p, v: candidates_batch(cfg, im, p, v))
     phase2 = jax.jit(
-        lambda py, cu, cs, cd, iw: track_frames(cfg, py, cu, cs, cd, iw,
-                                                num_slots))
+        lambda py, cu, cs, cd, dm, iw: track_frames(
+            cfg, py, cu, cs, cd, dm, iw, num_slots))
     return p_pyr, p_cand, phase2
 
 

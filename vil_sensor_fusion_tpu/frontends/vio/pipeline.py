@@ -27,6 +27,8 @@ class VioFrameInput(NamedTuple):
     dts: jnp.ndarray          # (N,)
     obs_uv: jnp.ndarray       # (M, 2) tracked pixel per landmark slot
     obs_valid: jnp.ndarray    # (M,)
+    obs_depth: jnp.ndarray    # (M,) LiDAR depth at the tracked pixel
+                              # (0 = none) — continuous scale anchor
     new_uv: jnp.ndarray       # (M, 2) replacement feature pixel per slot
     new_depth: jnp.ndarray    # (M,)
     new_enable: jnp.ndarray   # (M,) 1 ⇒ re-initialize this slot
@@ -45,7 +47,8 @@ def step(
     depth_sigma: float = 0.1,
 ) -> tuple[E.VioState, VioOutput]:
     s = E.propagate(cfg, s, fin.accel, fin.gyro, fin.dts)
-    s = E.update(cfg, s, fin.obs_uv, fin.obs_valid)
+    s = E.update(cfg, s, fin.obs_uv, fin.obs_valid,
+                 obs_depth=fin.obs_depth)
 
     # Replenish slots (scan over slots; most frames enable none or few).
     def repl(i, st):

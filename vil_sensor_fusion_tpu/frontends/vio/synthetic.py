@@ -58,6 +58,7 @@ def make_frames(
     slot_lm = -np.ones(M, np.int64)       # which world landmark each slot tracks
     obs_uv = np.zeros((T, M, 2))
     obs_valid = np.zeros((T, M))
+    obs_depth = np.zeros((T, M))
     new_uv = np.zeros((T, M, 2))
     new_depth = np.ones((T, M))
     new_enable = np.zeros((T, M))
@@ -70,6 +71,8 @@ def make_frames(
             if lm >= 0 and ok[lm]:
                 obs_uv[t, m] = uv[lm] + pixel_noise * rng.standard_normal(2)
                 obs_valid[t, m] = 1.0
+                obs_depth[t, m] = max(
+                    depth[lm] + depth_noise * rng.standard_normal(), 0.3)
             else:
                 slot_lm[m] = -1
         # Replenish dead slots with the most central visible untracked lm.
@@ -94,25 +97,33 @@ def make_frames(
         accel=jnp.asarray(accel), gyro=jnp.asarray(gyro),
         dts=jnp.asarray(dts),
         obs_uv=jnp.asarray(obs_uv), obs_valid=jnp.asarray(obs_valid),
+        obs_depth=jnp.asarray(obs_depth),
         new_uv=jnp.asarray(new_uv), new_depth=jnp.asarray(new_depth),
         new_enable=jnp.asarray(new_enable),
     )
 
 
 def imu_windows_for_frames(traj, frame_times: np.ndarray, imu_hz: float,
-                           dtype=jnp.float64, **imu_kwargs):
+                           dtype=jnp.float64, t_start: float = 0.0,
+                           **imu_kwargs):
     """Sample per-frame IMU windows from an analytic trajectory: window t
-    covers (frame_{t-1}, frame_t] at the IMU rate."""
+    covers (frame_{t-1}, frame_t] at the IMU rate.
+
+    ``t_start``: the time the FIRST listed frame's window opens at —
+    REQUIRED when ``frame_times`` is a mid-drive chunk (streaming/soak
+    runs): the default 0.0 would make the first window re-integrate the
+    whole elapsed drive (a catastrophic EKF jump at every chunk boundary,
+    plus a per-chunk shape change that forces recompiles)."""
     from ...data import synthetic as syn
 
     T = len(frame_times)
-    dt_frame = np.diff(np.concatenate([[0.0], frame_times]))
+    dt_frame = np.diff(np.concatenate([[t_start], frame_times]))
     n_per = int(np.ceil(dt_frame.max() * imu_hz)) + 1
     accel = np.zeros((T, n_per, 3))
     gyro = np.zeros((T, n_per, 3))
     dts = np.zeros((T, n_per))
     for t in range(T):
-        t0 = frame_times[t - 1] if t > 0 else 0.0
+        t0 = frame_times[t - 1] if t > 0 else t_start
         t1 = frame_times[t]
         ts = np.arange(t0, t1 - 1e-9, 1.0 / imu_hz)[1:] if t1 > t0 else []
         ts = np.concatenate([np.asarray(ts), [t1]])

@@ -97,7 +97,17 @@ def run_vil(
 
         register_fn = POPS.make_sharded_register(mesh, cfg.lidar.icp)
     if lidar_guess_from_vio_idx is not None:
-        lidar_pose_guesses = vio_out.pose[jnp.asarray(lidar_guess_from_vio_idx)]
+        vio_sel = vio_out.pose[jnp.asarray(lidar_guess_from_vio_idx)]
+        if cfg.lidar.guess_is_delta:
+            # Robust prior: the VIO's RELATIVE motion between consecutive
+            # sweep times (its absolute drift cancels); sweep 0 references
+            # the VIO initial pose. Requires lidar_state initialized at the
+            # same world pose (odometry.init(pose0=...)).
+            prev = jnp.concatenate([vio_state.pose[None], vio_sel[:-1]],
+                                   axis=0)
+            lidar_pose_guesses = jax.vmap(lie.pose_between)(prev, vio_sel)
+        else:
+            lidar_pose_guesses = vio_sel
     _, lidar_out = jax.jit(
         lambda st, sw, g: L.odometry.run(cfg.lidar, st, sw, g,
                                          register_fn=register_fn)
@@ -209,7 +219,7 @@ def run_vil_from_bag(
 
     from ..frontends import vio as V2
     vio_state = V2.init(cfg.vio, pose0, vel0, jnp.zeros(6, dtype))
-    lidar_state = L.odometry.init(cfg.lidar, dtype)
+    lidar_state = L.odometry.init(cfg.lidar, dtype, pose0=pose0)
     guess_idx = np.clip(
         np.searchsorted(ba.cam_times, ba.lidar_times + 1e-9) - 1, 0, None)
     t0 = jnp.asarray(min(float(ba.imu_times[0]),
