@@ -37,6 +37,60 @@ class TestConfig:
         assert cfg.smoother.window == 8
         assert cfg.gate.rot_threshold == 11.5
 
+    def test_carla_full_builds_complete_vilconfig(self):
+        """The full per-dataset surface (VERDICT r2 task 7): a VilConfig —
+        camera rig, VIO, frontend, LiDAR structure, gate, fusion — built
+        from YAML alone, with the reference 800×600 rig and LOAM-parity
+        structure ON."""
+        cfg = C.load(str(REPO / "configs" / "carla_full.yaml"))
+        vil = cfg.vil()
+        assert vil.vio.cam.width == 800 and vil.vio.cam.height == 600
+        assert cfg.frontend.cam.width == 800
+        assert vil.lidar.two_stage and vil.lidar.undistort
+        assert vil.lidar.guess_is_delta
+        assert vil.lidar.corner_map.leaf == pytest.approx(0.2)
+        assert vil.gate.normalize_per_corr
+        # Calibrated thresholds — no -1e9 sentinels anywhere.
+        assert vil.gate.rot_threshold > -100.0
+        assert vil.gate.trans_threshold > -100.0
+        names = [s.name for s in vil.fusion.sensors]
+        assert names == ["lidar", "vio"]
+
+    def test_run_with_config_and_model_devices(self, tmp_path):
+        """`cli run --config ... --model-devices 2`: the model-parallel ICP
+        (sharded registration psum) reachable from the product CLI, on the
+        virtual CPU mesh."""
+        cfgp = tmp_path / "small.yaml"
+        cfgp.write_text(
+            "camera: {width: 128, height: 96}\n"
+            "vio: {num_landmarks: 12}\n"
+            "lidar:\n"
+            "  two_stage: false\n"
+            "  undistort: false\n"
+            "  mapping: {iters: 3, degen_eigval: 5.0}\n"
+            "filter:\n"
+            "  rot_degen_threshold: 4.0\n"
+            "  trans_degen_threshold: -6.0\n"
+            "  normalize_per_corr: true\n"
+            "sensors:\n"
+            "  lidar: {optimize_after_odom: false, covariance_linear: 0.2,\n"
+            "          covariance_angular: 0.2, max_time_skip: 0.2}\n"
+            "  vio: {optimize_after_odom: true, covariance_linear: 0.1,\n"
+            "        covariance_angular: 0.1, max_time_skip: 0.1}\n"
+            "smoother: {window: 4, between_slots: 8, gn_iters: 3}\n")
+        r = subprocess.run(
+            [sys.executable, "-m", "vil_sensor_fusion_tpu.cli", "run",
+             "--scenario", "town", "--duration", "1.5",
+             "--config", str(cfgp), "--model-devices", "2"],
+            cwd=REPO, capture_output=True, text=True, timeout=1500,
+            env={"PATH": "/usr/bin:/bin:/usr/local/bin", "HOME": "/root",
+                 "JAX_PLATFORMS": "cpu",
+                 "XLA_FLAGS": "--xla_force_host_platform_device_count=2"})
+        assert r.returncode == 0, r.stderr[-2000:]
+        info = json.loads(r.stdout.strip().splitlines()[-1])
+        assert np.isfinite(info["fused_ate_rmse_m"])
+        assert info["events"] > 0
+
 
 class TestCli:
     def test_convert_and_fuse_bag(self, tmp_path):

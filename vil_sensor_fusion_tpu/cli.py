@@ -126,11 +126,11 @@ def _run_bag(args):
         "bag": args.bag,
         "events": int(res.timeline.times.shape[0]),
         "gate_keep_fraction": float(np.mean(np.asarray(res.gate.keep))),
-        # Mean over finite scores (the map-seeding first sweep has an
-        # empty Hessian -> -inf log-det).
+        # Mean over valid scores (gate.valid masks the map-seeding first
+        # sweep's empty Hessian).
         "lidar_trans_logdet_mean": float(np.mean(
             np.asarray(res.gate.trans_d_opt)[
-                np.isfinite(np.asarray(res.gate.trans_d_opt))])),
+                np.asarray(res.gate.valid) > 0])),
         "healthy_fraction": float(np.mean(np.asarray(res.fused.healthy))),
     }
     if args.checkpoint:
@@ -189,11 +189,11 @@ def cmd_run(args):
         "fused_ate_rmse_m": float(ev.ate_rmse(res.fused.poses,
                                               jnp.asarray(gt, dtype))),
         "gate_keep_fraction": float(np.mean(np.asarray(res.gate.keep))),
-        # Mean over finite scores (the map-seeding first sweep has an
-        # empty Hessian -> -inf log-det).
+        # Mean over valid scores (gate.valid masks the map-seeding first
+        # sweep's empty Hessian).
         "lidar_trans_logdet_mean": float(np.mean(
             np.asarray(res.gate.trans_d_opt)[
-                np.isfinite(np.asarray(res.gate.trans_d_opt))])),
+                np.asarray(res.gate.valid) > 0])),
         "healthy_fraction": float(np.mean(np.asarray(res.fused.healthy))),
     }
     if args.checkpoint:

@@ -44,6 +44,10 @@ class GateResult(NamedTuple):
     rot_d_opt: jnp.ndarray     # log det of the 3x3 rotation Hessian block
     trans_d_opt: jnp.ndarray   # log det of the 3x3 translation Hessian block
     keep: jnp.ndarray          # 1.0 = pass, 0.0 = drop (batched)
+    valid: jnp.ndarray         # 1.0 = scores finite (an empty Hessian — the
+                               # map-seeding first sweep — yields -inf
+                               # log-dets; consumers filter on this instead
+                               # of each re-deriving the sentinel rule)
 
 
 def _logdet3(m: jnp.ndarray) -> jnp.ndarray:
@@ -84,8 +88,10 @@ def logdet_gate(
         ld_rot = ld_rot - shift
         ld_trans = ld_trans - shift
     keep = ((ld_rot >= cfg.rot_threshold) & (ld_trans >= cfg.trans_threshold))
+    valid = jnp.isfinite(ld_rot) & jnp.isfinite(ld_trans)
     return GateResult(rot_d_opt=ld_rot, trans_d_opt=ld_trans,
-                      keep=keep.astype(hessian.dtype))
+                      keep=keep.astype(hessian.dtype),
+                      valid=valid.astype(hessian.dtype))
 
 
 def calibrate_threshold(

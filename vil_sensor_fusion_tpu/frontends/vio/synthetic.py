@@ -117,21 +117,25 @@ def imu_windows_for_frames(traj, frame_times: np.ndarray, imu_hz: float,
     from ...data import synthetic as syn
 
     T = len(frame_times)
-    dt_frame = np.diff(np.concatenate([[t_start], frame_times]))
+    frame_times = np.asarray(frame_times, np.float64)
+    t0s = np.concatenate([[t_start], frame_times[:-1]])
+    dt_frame = frame_times - t0s
     n_per = int(np.ceil(dt_frame.max() * imu_hz)) + 1
-    accel = np.zeros((T, n_per, 3))
-    gyro = np.zeros((T, n_per, 3))
-    dts = np.zeros((T, n_per))
-    for t in range(T):
-        t0 = frame_times[t - 1] if t > 0 else t_start
-        t1 = frame_times[t]
-        ts = np.arange(t0, t1 - 1e-9, 1.0 / imu_hz)[1:] if t1 > t0 else []
-        ts = np.concatenate([np.asarray(ts), [t1]])
-        stream = syn.sample_imu(traj, jnp.asarray(ts, dtype), **imu_kwargs)
-        n = len(ts)
-        accel[t, :n] = np.asarray(stream.accel)
-        gyro[t, :n] = np.asarray(stream.gyro)
-        prev = np.concatenate([[t0], ts[:-1]])
-        dts[t, :n] = ts - prev
+    # Sample grid per frame: t0 + k/hz clamped at the frame time — the
+    # clamped tail repeats t1 with dt 0 (masked by the dt>0 live check in
+    # preintegration/EKF propagation), and the first clamped sample IS the
+    # interpolated window-edge sample (IMUManager.cpp:57-66 semantics).
+    # One vectorized sample_imu call for the whole stream (the previous
+    # per-frame Python loop retraced per window length — minutes of host
+    # time on long chunks).
+    k = np.arange(1, n_per + 1)
+    ts = np.minimum(t0s[:, None] + k[None, :] / imu_hz,
+                    frame_times[:, None])               # (T, n_per)
+    prev = np.concatenate([t0s[:, None], ts[:, :-1]], axis=1)
+    dts = ts - prev
+    stream = syn.sample_imu(
+        traj, jnp.asarray(ts.reshape(-1), dtype), **imu_kwargs)
+    accel = np.asarray(stream.accel).reshape(T, n_per, 3)
+    gyro = np.asarray(stream.gyro).reshape(T, n_per, 3)
     return (jnp.asarray(accel, dtype), jnp.asarray(gyro, dtype),
             jnp.asarray(dts, dtype))
