@@ -88,9 +88,21 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=160, cam_h=120, speed=4.0,
         undistort=True, guess_is_delta=True)
     gate_cfg = DG.GateConfig(rot_threshold=4.0, trans_threshold=-6.0,
                              normalize_per_corr=True)
+    # Sensor weights calibrated for THIS rig (the reference's 0.1/0.2 are
+    # tuned for ROVIO-quality VIO; at the soak's 160x120 camera the LiDAR
+    # odometry is the stronger stream — same per-sensor covariance config
+    # surface, fusion_params.yaml:8-9,17-18):
+    sensors = (
+        fu.SensorSpec(name="vio", optimize_after_odom=True,
+                      use_odom_covariance=False, covariance_linear=0.3,
+                      covariance_angular=0.3, max_time_skip=0.1),
+        fu.SensorSpec(name="lidar", optimize_after_odom=False,
+                      use_odom_covariance=False, covariance_linear=0.05,
+                      covariance_angular=0.05, max_time_skip=0.2),
+    )
     fusion_cfg = fu.FusionConfig(
         smoother=G.SmootherConfig(window=6, between_slots=12, gn_iters=4),
-        sensors=VIL.VilConfig().fusion.sensors, max_imu_per_gap=32)
+        sensors=sensors, max_imu_per_gap=32)
 
     n_chunks = int(round(duration / chunk))
     Tv = int(chunk * vio_hz)          # frames per chunk
