@@ -179,7 +179,8 @@ def main():
         """(B, Tv, 7) VIO poses -> (B, Tl, 7) RELATIVE priors (VIO motion
         between consecutive sweep frames; sweep 0 vs the initial pose)."""
         sel = vio_poses_b[:, guess_idx]
-        prev = jnp.concatenate([pose0s[:, None], sel[:, :-1]], axis=1)
+        prev = jnp.concatenate([pose0s[:sel.shape[0], None], sel[:, :-1]],
+                               axis=1)
         return jax.vmap(jax.vmap(lie.pose_between))(prev, sel)
 
     # Shared static timeline merge (identical stamps per lane).

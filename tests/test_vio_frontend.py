@@ -81,8 +81,8 @@ class TestSlotManagement:
 
         M = 12
         ts = F.init_tracker(cfg, M, DTYPE)
-        ts, (obs_uv, obs_valid, new_uv, new_depth, new_enable) = \
-            F.frontend_step(cfg, ts, img, pts, msk)
+        ts, (obs_uv, obs_valid, obs_depth, new_uv, new_depth,
+             new_enable) = F.frontend_step(cfg, ts, img, pts, msk)
         n_new = float(jnp.sum(new_enable))
         assert n_new >= M * 0.75, f"only {n_new} slots initialized"
         # Enabled slots must carry positive depth.
