@@ -31,11 +31,18 @@ __version__ = "0.1.0"
 # a single bf16 pass (~8 mantissa bits) — fine for neural nets, catastrophic
 # for this library's products: normal-equation assembly (AᵀΛA with Λ spanning
 # ~8 orders of magnitude), EKF covariance algebra, and preintegration
-# Jacobians. Measured end-to-end: under default precision a 20 s TPU drive
-# diverges (fused error 560 m, half the events rejected by the health
-# guard); at "highest" (true f32 accumulation) the same drive tracks to
-# ~2 m. The extra matmul cost is negligible against that — set it once,
-# package-wide.
+# Jacobians. Measured end-to-end on a TPU drive: under default precision the
+# estimator diverges within 20 s (fused error 560 m, half the events
+# rejected by the health guard); "high" (3-pass bf16) matches "highest" on
+# 30 s drives but STALLS the smoother mid-way through a 345 s drive (health
+# acceptance collapses once accumulated covariance error trips the guard);
+# only "highest" (native f32) survives the full 5:45-bag horizon. Override
+# with VIL_MATMUL_PRECISION for experiments.
+# (Pallas kernels pin their own dot precision — Mosaic has no 3-pass mode.)
+import os as _os
+
 import jax as _jax
 
-_jax.config.update("jax_default_matmul_precision", "highest")
+_jax.config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("VIL_MATMUL_PRECISION", "highest"))

@@ -237,7 +237,26 @@ def step(
     healthy = HL.check_state(vel, b, limits=cfg.health_limits,
                              extra_tree=pose)
     if cfg.guard_health:
-        es = HL.guarded_update(es_in, es, healthy)
+        # Elastic recovery with bounded coasting. For an ISOLATED bad event,
+        # keeping the pre-event state verbatim is right: the next event
+        # re-preintegrates the full (small) gap from the last good state.
+        # But under PERSISTENT rejection the gap back to the last accepted
+        # keyframe grows past the static preintegration window capacity —
+        # predictions then diverge more each event and one bad solve becomes
+        # a permanent stall (observed end-to-end: health acceptance 0 for
+        # the rest of a long drive). So on rejection, drag the kept state's
+        # time anchor forward just enough that the NEXT gap still fits the
+        # window: exact single-drop semantics, graceful coasting under
+        # sustained failure.
+        n_imu = imu_times.shape[0]
+        imu_dt = (imu_times[-1] - imu_times[0]) / jnp.maximum(n_imu - 1, 1)
+        t_floor = (jnp.asarray(ev.times, dtype)
+                   - 0.8 * cfg.max_imu_per_gap * imu_dt)
+        t_keep = jnp.maximum(es_in.smoother.times[-1], t_floor)
+        sm_keep = es_in.smoother._replace(
+            times=es_in.smoother.times.at[-1].set(t_keep))
+        es_keep = es_in._replace(smoother=sm_keep)
+        es = HL.guarded_update(es_keep, es, healthy)
         pose, vel, b, t = S.latest(es.smoother)
     return es, (t, pose, vel, b, do_solve.astype(dtype),
                 healthy.astype(dtype))

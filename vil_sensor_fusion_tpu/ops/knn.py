@@ -129,8 +129,11 @@ def _knn_kernel(q_ref, t_ref, tsq_ref, idx_ref, dist_ref, *, k: int):
     M = t_ref.shape[1]
     q_sq = jnp.sum(q * q, axis=1)[:, None]
     d = (q_sq
-         - 2.0 * jnp.dot(q, t_ref[:], preferred_element_type=jnp.float32)
+         - 2.0 * jnp.dot(q, t_ref[:], preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
          + tsq_ref[:])                     # (QB, M); masked cols -> +inf
+    # (explicit precision: Mosaic rejects the global 'high' 3-pass setting;
+    # the 8-deep contraction is cheap at full f32 anyway)
     cols = jax.lax.broadcasted_iota(jnp.int32, (QB, M), 1)
     big_i = jnp.asarray(2**30, jnp.int32)
     for j in range(k):
