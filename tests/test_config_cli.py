@@ -87,7 +87,8 @@ class TestConfig:
                  "JAX_PLATFORMS": "cpu",
                  "XLA_FLAGS": "--xla_force_host_platform_device_count=2"})
         assert r.returncode == 0, r.stderr[-2000:]
-        info = json.loads(r.stdout.strip().splitlines()[-1])
+        # cmd_run pretty-prints one JSON object; parse from its first brace.
+        info = json.loads(r.stdout[r.stdout.index("{"):])
         assert np.isfinite(info["fused_ate_rmse_m"])
         assert info["events"] > 0
 

@@ -272,8 +272,15 @@ def knn(
     falling back to the hardware approx-top-k for target sets too large for
     the kernel's VMEM-resident distance tile; sort-based top_k on CPU,
     chunked-scan XLA elsewhere."""
+    import os
+
     platform = jax.devices()[0].platform
+    force = os.environ.get("VIL_KNN", "")
     if platform == "tpu":
+        if force == "approx":
+            return knn_approx(queries, targets, t_mask, k)
+        if force == "xla":
+            return knn_xla(queries, targets, t_mask, k)
         if targets.shape[0] <= PALLAS_MAX_TARGETS:
             return knn_pallas(queries, targets, t_mask, k)
         return knn_approx(queries, targets, t_mask, k)
