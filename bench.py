@@ -86,19 +86,27 @@ def knn_microbench():
         impls["topk"] = jax.jit(
             lambda a, b, c: knn_ops.knn_topk(a, b, c, k))
 
+    def chained(fn, reps):
+        """One jitted program running ``reps`` data-dependent kernel calls:
+        a single dispatch covers all reps, so per-call host→device dispatch
+        latency (multi-ms through the axon tunnel on some hosts — 50×+ the
+        kernel time) cancels out of the per-rep figure."""
+        def body(qc, _):
+            _, d = fn(qc, t, tm)
+            return qc + (d[0, 0] * 0.0).astype(qc.dtype), None
+        return jax.jit(lambda qc: jax.lax.scan(body, qc, None,
+                                               length=reps)[0])
+
     out = {}
+    reps = 20
     for name, fn in impls.items():
-        r = fn(q, t, tm)
-        jax.block_until_ready(r)
-        # Best-of-3 trials of 20 reps: the axon tunnel adds multi-hundred-µs
-        # noise spikes; the minimum is the honest kernel time.
+        run = chained(fn, reps)
+        jax.block_until_ready(run(q))      # compile + warm
+        # Best-of-3 trials; the minimum is the honest kernel time.
         best = float("inf")
         for _ in range(3):
-            reps = 20
             t0 = time.perf_counter()
-            for _ in range(reps):
-                r = fn(q, t, tm)
-            jax.block_until_ready(r)
+            jax.block_until_ready(run(q))
             best = min(best, (time.perf_counter() - t0) / reps)
         # The padded distance matmul: 2 * Q * 8 * M FLOPs.
         flops = 2.0 * Q * 8 * M

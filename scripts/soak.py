@@ -39,7 +39,8 @@ import jax.numpy as jnp
 
 def run_soak(duration=60.0, chunk=10.0, cam_w=160, cam_h=120, speed=4.0,
              checkpoint_test=False, checkpoint_dir="/tmp/soak_ckpt",
-             verbose=True, dtype=None):
+             verbose=True, dtype=None, vio_use_odom_cov=False,
+             vio_cov=0.3, lidar_cov=0.05):
     from vil_sensor_fusion_tpu import fusion as fu
     from vil_sensor_fusion_tpu import graph as G
     from vil_sensor_fusion_tpu import utils as U
@@ -92,13 +93,19 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=160, cam_h=120, speed=4.0,
     # tuned for ROVIO-quality VIO; at the soak's 160x120 camera the LiDAR
     # odometry is the stronger stream — same per-sensor covariance config
     # surface, fusion_params.yaml:8-9,17-18):
+    # ``vio_use_odom_cov`` switches the VIO stream to the reference's
+    # use_odom_covariance mode (fusion_params.yaml:7): the EKF's own pose
+    # covariance — which GROWS with drift — becomes the between-factor
+    # noise, so a drifting VIO is adaptively downweighted against the
+    # bounded ICP covariance over long horizons.
     sensors = (
         fu.SensorSpec(name="vio", optimize_after_odom=True,
-                      use_odom_covariance=False, covariance_linear=0.3,
-                      covariance_angular=0.3, max_time_skip=0.1),
+                      use_odom_covariance=vio_use_odom_cov,
+                      covariance_linear=vio_cov,
+                      covariance_angular=vio_cov, max_time_skip=0.1),
         fu.SensorSpec(name="lidar", optimize_after_odom=False,
-                      use_odom_covariance=False, covariance_linear=0.05,
-                      covariance_angular=0.05, max_time_skip=0.2),
+                      use_odom_covariance=False, covariance_linear=lidar_cov,
+                      covariance_angular=lidar_cov, max_time_skip=0.2),
     )
     fusion_cfg = fu.FusionConfig(
         smoother=G.SmootherConfig(window=6, between_slots=12, gn_iters=4),
@@ -293,9 +300,17 @@ def main():
     ap.add_argument("--duration", type=float, default=60.0)
     ap.add_argument("--chunk", type=float, default=10.0)
     ap.add_argument("--checkpoint-test", action="store_true")
+    ap.add_argument("--vio-odom-cov", action="store_true",
+                    help="use the EKF's own pose covariance as the VIO "
+                         "between-factor noise (reference "
+                         "use_odom_covariance mode)")
+    ap.add_argument("--vio-cov", type=float, default=0.3)
+    ap.add_argument("--lidar-cov", type=float, default=0.05)
     args = ap.parse_args()
     summary, _ = run_soak(duration=args.duration, chunk=args.chunk,
-                          checkpoint_test=args.checkpoint_test)
+                          checkpoint_test=args.checkpoint_test,
+                          vio_use_odom_cov=args.vio_odom_cov,
+                          vio_cov=args.vio_cov, lidar_cov=args.lidar_cov)
     print(json.dumps(summary, indent=2))
 
 

@@ -27,17 +27,19 @@ the whole estimator jit-compiles and is deterministic.
 
 __version__ = "0.1.0"
 
-# Estimation-grade matmul precision. JAX's DEFAULT TPU matmul precision is
-# a single bf16 pass (~8 mantissa bits) — fine for neural nets, catastrophic
-# for this library's products: normal-equation assembly (AᵀΛA with Λ spanning
-# ~8 orders of magnitude), EKF covariance algebra, and preintegration
-# Jacobians. Measured end-to-end on a TPU drive: under default precision the
-# estimator diverges within 20 s (fused error 560 m, half the events
-# rejected by the health guard); "high" (3-pass bf16) matches "highest" on
-# 30 s drives but STALLS the smoother mid-way through a 345 s drive (health
-# acceptance collapses once accumulated covariance error trips the guard);
-# only "highest" (native f32) survives the full 5:45-bag horizon. Override
-# with VIL_MATMUL_PRECISION for experiments.
+# Matmul precision policy. The estimator's linear algebra (normal-equation
+# assembly, EKF covariance updates, preintegration Jacobians) REQUIRES
+# full-f32 matmuls — under JAX's default single-bf16-pass TPU matmuls the
+# estimator diverges within 20 s of drive, and even 3-pass "high" stalls the
+# smoother mid-way through a 345 s drive (see SCALING.md "Multi-minute
+# soak"). That precision is pinned PER-FUNCTION via
+# ``_precision.estimation_precision`` on exactly the numerically-critical
+# entry points (smoother solve/marginalization, EKF propagate/update,
+# preintegration, ICP normal equations, eig solves), so the rest of the
+# pipeline — rendering, pyramids/KLT, KNN distance rows, point transforms —
+# keeps the hardware's fast default (a global "highest" costs ~35% of
+# end-to-end throughput). VIL_MATMUL_PRECISION overrides the GLOBAL
+# default; VIL_ESTIMATION_PRECISION overrides the estimator scope.
 # (Pallas kernels pin their own dot precision — Mosaic has no 3-pass mode.)
 import os as _os
 
@@ -45,4 +47,4 @@ import jax as _jax
 
 _jax.config.update(
     "jax_default_matmul_precision",
-    _os.environ.get("VIL_MATMUL_PRECISION", "highest"))
+    _os.environ.get("VIL_MATMUL_PRECISION", "default"))

@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from . import lie
+from .._precision import estimation_precision
 
 
 class ImuParams(NamedTuple):
@@ -94,6 +95,7 @@ def _init_state(dtype):
     )
 
 
+@estimation_precision
 def preintegrate(
     accel: jnp.ndarray,
     gyro: jnp.ndarray,
@@ -211,6 +213,7 @@ def preintegrate(
     )
 
 
+@estimation_precision
 def predict(
     pim: PreintegratedImu,
     pose_i: jnp.ndarray,
@@ -306,6 +309,7 @@ def extract_window(
     return accel_w, gyro_w, dts_all
 
 
+@estimation_precision
 def preintegrate_window(
     times: jnp.ndarray,
     accel: jnp.ndarray,
@@ -321,6 +325,7 @@ def preintegrate_window(
     return preintegrate(a, g, dts, bias, params)
 
 
+@estimation_precision
 def combined_covariance_15(pim: PreintegratedImu, params: ImuParams) -> jnp.ndarray:
     """15x15 covariance of (δθ, δp, δv, δb_a, δb_g) for the combined factor:
     preintegration covariance plus bias random-walk over the window —

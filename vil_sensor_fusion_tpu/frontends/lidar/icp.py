@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from ...core import lie
 from ...ops import eig3 as E3
 from ...ops import eig6 as E6
+from ..._precision import estimation_precision
 
 KNN_K = 5
 QUERY_CHUNK = 128
@@ -79,6 +80,7 @@ def _transform(pose: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
         + lie.pose_trans(pose)[None, :]
 
 
+@estimation_precision
 def line_fits(
     pose, corners, corner_mask, map_corners, map_mask, cfg: IcpConfig,
 ):
@@ -125,6 +127,7 @@ def line_correspondences(
     return res, J, w
 
 
+@estimation_precision
 def plane_fits(
     pose, surfs, surf_mask, map_surfs, map_mask, cfg: IcpConfig,
 ):
@@ -176,6 +179,7 @@ def plane_correspondences(
     return res, J, w
 
 
+@estimation_precision
 def accumulate_normal_eqs(res, J, w):
     """H = Σ w JᵀJ, g = Σ w Jᵀr — shardable over the point axis: under
     shard_map these become psum-reduced partial sums (parallel.ops).
@@ -191,6 +195,7 @@ def accumulate_normal_eqs(res, J, w):
     return H, g
 
 
+@estimation_precision
 def degeneracy_projected_step(H, g, cfg: IcpConfig):
     """LOAM's degeneracy-aware solve: eigen-directions of H with eigenvalue
     below ``degen_eigval`` are frozen — the update is projected onto the
@@ -223,6 +228,7 @@ class PerturbationDists(NamedTuple):
     shift_rot: jnp.ndarray      # (S,)
 
 
+@estimation_precision
 def perturbation_dists(
     pose: jnp.ndarray,
     corners: jnp.ndarray, corner_mask: jnp.ndarray,

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ...core import lie
 from . import camera as C
+from ..._precision import estimation_precision
 
 IMU_DIM = 15
 
@@ -97,6 +98,7 @@ def init(
 # IMU propagation
 # ---------------------------------------------------------------------------
 
+@estimation_precision
 def propagate(
     cfg: VioConfig,
     s: VioState,
@@ -221,6 +223,7 @@ def _predict_cam_z(cfg: VioConfig, s: VioState) -> jnp.ndarray:
     return p_cam[..., 2]
 
 
+@estimation_precision
 def update(
     cfg: VioConfig,
     s: VioState,
@@ -321,6 +324,7 @@ def _boxminus(cfg: VioConfig, s_a: VioState, s_b: VioState) -> jnp.ndarray:
 # Landmark lifecycle
 # ---------------------------------------------------------------------------
 
+@estimation_precision
 def init_landmark(
     cfg: VioConfig,
     s: VioState,
@@ -373,6 +377,7 @@ def init_landmark(
     return s._replace(landmarks=lm, lm_valid=valid, cov=cov)
 
 
+@estimation_precision
 def pose_covariance(cfg: VioConfig, s: VioState) -> jnp.ndarray:
     """6×6 pose covariance in (trans, rot) order — the block the degeneracy
     metrics consume from /rovio/odometry (degeneracy_detection.py:82-113)."""

@@ -44,6 +44,7 @@ from ..core import preintegration as pre
 from ..graph import smoother as S
 from ..utils import health as HL
 from ..graph.smoother import SmootherConfig, SmootherState
+from .._precision import estimation_precision
 
 
 class SensorSpec(NamedTuple):
@@ -167,6 +168,7 @@ def _spec_arrays(cfg: FusionConfig, dtype):
     )
 
 
+@estimation_precision
 def step(
     cfg: FusionConfig,
     es: EngineState,
@@ -262,6 +264,7 @@ def step(
                 healthy.astype(dtype))
 
 
+@estimation_precision
 def run(
     cfg: FusionConfig,
     es: EngineState,

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from ..core import lie
 from ..core import preintegration as pre
 from . import factors as F
+from .._precision import estimation_precision
 
 STATE_DIM = F.STATE_DIM
 
@@ -313,6 +314,7 @@ def _assemble(
 # Solve (Gauss-Newton with fixed iteration count — jit/scan friendly)
 # ---------------------------------------------------------------------------
 
+@estimation_precision
 def solve(cfg: SmootherConfig, s: SmootherState) -> SmootherState:
     """Run cfg.gn_iters Gauss-Newton iterations, relinearizing each time.
 
@@ -334,6 +336,7 @@ def solve(cfg: SmootherConfig, s: SmootherState) -> SmootherState:
     return s._replace(states=x)
 
 
+@estimation_precision
 def cost(cfg: SmootherConfig, s: SmootherState) -> jnp.ndarray:
     """Total weighted squared error at the current estimates (diagnostics)."""
     x = s.states
@@ -357,6 +360,7 @@ def _shift_pim(pim: pre.PreintegratedImu, new_last: pre.PreintegratedImu):
     return jax.tree_util.tree_map(sh, pim, new_last)
 
 
+@estimation_precision
 def add_keyframe(
     cfg: SmootherConfig,
     s: SmootherState,

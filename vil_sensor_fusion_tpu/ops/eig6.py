@@ -17,8 +17,10 @@ GN step is one matmul chain in the eigenbasis (see icp.py), eliminating
 from __future__ import annotations
 
 import jax.numpy as jnp
+from .._precision import estimation_precision
 
 
+@estimation_precision
 def jacobi_eigh(A: jnp.ndarray, sweeps: int = 6):
     """Eigendecomposition of symmetric (..., n, n), n small & static.
 
@@ -76,6 +78,7 @@ def jacobi_eigh(A: jnp.ndarray, sweeps: int = 6):
     return w_sorted, V_sorted
 
 
+@estimation_precision
 def eig_solve(w: jnp.ndarray, V: jnp.ndarray, g: jnp.ndarray,
               damping: jnp.ndarray | float = 0.0,
               keep: jnp.ndarray | None = None) -> jnp.ndarray:

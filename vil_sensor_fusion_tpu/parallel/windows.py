@@ -42,6 +42,7 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from ..core import lie
+from .._precision import estimation_precision
 
 D = 6  # tangent dim per keyframe
 
@@ -124,6 +125,7 @@ def _damped_solve(H, b, lam):
 # Sequential reference
 # ---------------------------------------------------------------------------
 
+@estimation_precision
 def solve_sequential(
     poses: jnp.ndarray,        # (N, 7) initial estimates
     meas: jnp.ndarray,         # (N-1, 7) odometry between measurements
@@ -232,6 +234,7 @@ def _window_iteration(x_w, meas_w, infos_w, cross_meas, cross_info,
     return jax.vmap(lie.pose_retract)(x_w, dx_w)
 
 
+@estimation_precision
 def solve_sharded(
     mesh,
     axis_name: str,
