@@ -92,8 +92,11 @@ def knn_microbench():
         latency (multi-ms through the axon tunnel on some hosts — 50×+ the
         kernel time) cancels out of the per-rep figure."""
         def body(qc, _):
-            _, d = fn(qc, t, tm)
-            return qc + (d[0, 0] * 0.0).astype(qc.dtype), None
+            idx, _ = fn(qc, t, tm)
+            # Data dependence built from the int32 index output: a distance
+            # of +inf (possible when valid targets < k) would turn d*0.0
+            # into NaN and silently poison every subsequent rep.
+            return qc + (idx[0, 0] * 0).astype(qc.dtype), None
         return jax.jit(lambda qc: jax.lax.scan(body, qc, None,
                                                length=reps)[0])
 

@@ -62,8 +62,15 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=160, cam_h=120, speed=4.0,
             print(f"[soak +{time.perf_counter() - t_wall0:7.1f}s] {msg}",
                   file=sys.stderr, flush=True)
 
+    # Ceil, not round: a 345 s / 10 s request must simulate the full span —
+    # and every summary ratio below uses the ACTUALLY simulated span
+    # (n_chunks*chunk), so realtime_factor / ATE% can't be flattered by a
+    # rounded-away chunk (advisor r3 finding).
+    n_chunks = -int(-duration // chunk)
+    simulated_s = n_chunks * chunk
+
     # --- world sized to the drive: constant roadside building density ------
-    world = rc.road_world(length=speed * duration, seed=0, dtype=dtype)
+    world = rc.road_world(length=speed * simulated_s, seed=0, dtype=dtype)
 
     def pos_fn(t):
         return jnp.stack([speed * t, 2.0 * jnp.sin(0.25 * t),
@@ -93,11 +100,15 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=160, cam_h=120, speed=4.0,
     # tuned for ROVIO-quality VIO; at the soak's 160x120 camera the LiDAR
     # odometry is the stronger stream — same per-sensor covariance config
     # surface, fusion_params.yaml:8-9,17-18):
-    # ``vio_use_odom_cov`` switches the VIO stream to the reference's
-    # use_odom_covariance mode (fusion_params.yaml:7): the EKF's own pose
-    # covariance — which GROWS with drift — becomes the between-factor
-    # noise, so a drifting VIO is adaptively downweighted against the
-    # bounded ICP covariance over long horizons.
+    # ``vio_use_odom_cov`` makes the EKF's own POSE covariance — which
+    # GROWS with drift — the between-factor noise, so a drifting VIO is
+    # adaptively downweighted against the bounded ICP covariance over long
+    # horizons. NOTE this is deliberately NOT the exact reference
+    # use_odom_covariance semantics: the reference copies the odometry
+    # message's TWIST covariance into the between-factor noise
+    # (SensorManagerRos.cpp:154-156), a velocity-uncertainty proxy; the
+    # pose covariance is the quantity that actually tracks accumulated
+    # drift, so the adaptive-downweighting experiment uses it instead.
     sensors = (
         fu.SensorSpec(name="vio", optimize_after_odom=True,
                       use_odom_covariance=vio_use_odom_cov,
@@ -111,7 +122,6 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=160, cam_h=120, speed=4.0,
         smoother=G.SmootherConfig(window=6, between_slots=12, gn_iters=4),
         sensors=sensors, max_imu_per_gap=32)
 
-    n_chunks = int(round(duration / chunk))
     Tv = int(chunk * vio_hz)          # frames per chunk
     Tl = int(chunk * lidar_hz)        # sweeps per chunk
     sweep_stride = 4
@@ -277,18 +287,18 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=160, cam_h=120, speed=4.0,
     errs = [m["err_max"] for m in metrics]
     walls = [m["wall_s"] for m in metrics]
     summary = dict(
-        duration_s=duration, chunks=len(metrics),
-        distance_m=speed * duration,
+        duration_s=simulated_s, chunks=len(metrics),
+        distance_m=speed * simulated_s,
         err_mean_m=float(np.mean([m["err_mean"] for m in metrics])),
         err_max_m=float(np.max(errs)),
         err_max_last_chunk_m=float(errs[-1]),
-        ate_pct_of_distance=float(np.max(errs) / (speed * duration) * 100),
+        ate_pct_of_distance=float(np.max(errs) / (speed * simulated_s) * 100),
         map_corner_final=metrics[-1]["map_corner"],
         map_surf_final=metrics[-1]["map_surf"],
         keep_mean=float(np.mean([m["keep"] for m in metrics])),
         healthy_mean=float(np.mean([m["healthy"] for m in metrics])),
         wall_s_total=float(np.sum(walls)),
-        realtime_factor=float(duration / np.sum(walls)),
+        realtime_factor=float(simulated_s / np.sum(walls)),
         resume_max_delta=resume_err,
         platform=jax.devices()[0].platform,
     )
