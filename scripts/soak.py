@@ -92,8 +92,12 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=160, cam_h=120, speed=4.0,
     fe_cfg = F.FrontendConfig(cam=cam, n_candidates=32, min_dist=10.0,
                               min_score=0.5)
     lidar_cfg = L.LidarOdomConfig(
-        icp=L.IcpConfig(iters=6, degen_eigval=5.0), two_stage=True,
-        undistort=True, guess_is_delta=True)
+        icp=L.IcpConfig(iters=6, degen_eigval=5.0, fit_every=2,
+                        final_refresh=False, eig_sweeps=4),
+        odom_icp=L.IcpConfig(iters=8, max_corr_dist=2.0, degen_eigval=5.0,
+                             fit_every=2, final_refresh=False,
+                             eig_sweeps=4),
+        two_stage=True, undistort=True, guess_is_delta=True)
     gate_cfg = DG.GateConfig(rot_threshold=4.0, trans_threshold=-6.0,
                              normalize_per_corr=True)
     # Sensor weights calibrated for THIS rig (the reference's 0.1/0.2 are

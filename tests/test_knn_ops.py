@@ -59,7 +59,7 @@ class TestKnnPallasInterpret:
                              jnp.asarray(mask), k=5, target_block=128)
         ip, dp = KNN.knn_pallas(jnp.asarray(q), jnp.asarray(t),
                                 jnp.asarray(mask), k=5, query_block=32,
-                                interpret=True)
+                                interpret=True, select_bf16=False)
         # Same algorithm but different reduction grouping (the Pallas path
         # runs the distance matmul on padded/transposed f32 tiles), so
         # distances agree to f32 round-off, not bit-exactly.
@@ -71,3 +71,23 @@ class TestKnnPallasInterpret:
         dtrue_p = ((q64[:, None, :] - t[np.asarray(ip)]) ** 2).sum(-1)
         dtrue_x = ((q64[:, None, :] - t[np.asarray(ix)]) ** 2).sum(-1)
         np.testing.assert_allclose(dtrue_p, dtrue_x, rtol=1e-4, atol=1e-4)
+
+    def test_bf16_selection_contract(self, problem):
+        """The default (select_bf16=True) path returns bf16-ranked
+        neighbors: every returned index must be a valid target whose true
+        distance is within bf16 resolution of the exact k-NN distance."""
+        q, t, mask = problem
+        _, dx = KNN.knn_xla(jnp.asarray(q), jnp.asarray(t),
+                            jnp.asarray(mask), k=5, target_block=128)
+        ip, dp = KNN.knn_pallas(jnp.asarray(q), jnp.asarray(t),
+                                jnp.asarray(mask), k=5, query_block=32,
+                                interpret=True, select_bf16=True)
+        assert (mask[np.asarray(ip)] > 0).all()
+        dtrue = ((q[:, None, :].astype(np.float64)
+                  - t[np.asarray(ip)]) ** 2).sum(-1)
+        # Reported distances are bf16-rounded versions of the true ones.
+        np.testing.assert_allclose(np.asarray(dp), dtrue, rtol=1e-2,
+                                   atol=1e-2)
+        # Selected neighbors are within bf16 ranking slack of the exact set.
+        np.testing.assert_allclose(np.sort(dtrue, axis=1), np.asarray(dx),
+                                   rtol=1e-2, atol=1e-2)

@@ -139,6 +139,45 @@ class TestIcp:
         assert float(jnp.linalg.norm(err[:3])) < 0.08
         assert float(jnp.linalg.norm(err[3:])) < 0.015
 
+    def test_fit_reuse_schedule_matches_full_refresh(self):
+        """fit_every=2 + final_refresh=False (the TPU-throughput schedule:
+        correspondences refreshed every other GN step, final stats on the
+        last round's fits) must converge to the same pose as the classic
+        refresh-every-iteration schedule, with a consistent Hessian."""
+        w = rc.town_world(n_boxes=24, seed=2)
+        xi = [0.3, 0.1, 0.02, 0.0, 0.0, 0.03]
+        p1, res_full = self._register_known_motion(w, xi)
+
+        p0 = _pose()
+        s1 = rc.raycast(w, lie.pose_retract(p0, jnp.asarray(xi, DTYPE)))
+        f1 = L.extract(s1)
+        s0 = rc.raycast(w, p0)
+        f0 = L.extract(s0)
+        center = lie.pose_trans(p0)
+        mc, mcm = _voxel_map(_to_world(p0, f0.less_sharp),
+                             f0.less_sharp_mask, center, leaf=0.2)
+        ms, msm = _voxel_map(
+            _to_world(p0, jnp.concatenate([f0.flat, f0.less_flat])),
+            jnp.concatenate([f0.flat_mask, f0.less_flat_mask]),
+            center, leaf=0.4)
+        cfg = L.IcpConfig(iters=8, degen_eigval=5.0, fit_every=2,
+                          final_refresh=False)
+        res_reuse = L.register(
+            p0, f1.less_sharp, f1.less_sharp_mask,
+            jnp.concatenate([f1.flat, f1.less_flat]),
+            jnp.concatenate([f1.flat_mask, f1.less_flat_mask]),
+            mc, mcm, ms, msm, cfg)
+        # Same solution within the registration's own noise floor.
+        d = lie.pose_local(res_full.pose, res_reuse.pose)
+        assert float(jnp.linalg.norm(d[:3])) < 0.02
+        assert float(jnp.linalg.norm(d[3:])) < 0.005
+        # Stats stay consistent: comparable correspondence count and a
+        # Hessian of the same scale (it feeds the log-det gate).
+        assert float(res_reuse.n_corr) > 0.8 * float(res_full.n_corr)
+        ld_full = jnp.linalg.slogdet(res_full.hessian)[1]
+        ld_reuse = jnp.linalg.slogdet(res_reuse.hessian)[1]
+        assert abs(float(ld_full - ld_reuse)) < 1.0
+
     def test_hessian_degenerate_in_corridor(self):
         """The thesis's core signal: in a featureless corridor the ICP
         Hessian's translation block collapses along the corridor axis (x),

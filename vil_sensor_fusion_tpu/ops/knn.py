@@ -111,7 +111,8 @@ def knn_xla(
     return best_i, best_d
 
 
-def _knn_kernel(q_ref, t_ref, tsq_ref, idx_ref, dist_ref, *, k: int):
+def _knn_kernel(q_ref, t_ref, tsq_ref, idx_ref, dist_ref, *, k: int,
+                select_bf16: bool):
     """Per-query-block kernel, full-row formulation:
 
     - ``q_ref``   (QB, 8): queries, coordinate dim zero-padded 3→8 so the
@@ -123,7 +124,16 @@ def _knn_kernel(q_ref, t_ref, tsq_ref, idx_ref, dist_ref, *, k: int):
     K-selection is k wide VPU passes over the full row (min, masked
     index-min, mask-out) — a handful of big vector reductions instead of
     the per-chunk merge cascade of the old kernel (which was ~10 small
-    reductions × 32 chunks, pure latency)."""
+    reductions × 32 chunks, pure latency).
+
+    ``select_bf16``: run the selection passes on a bfloat16 copy of the
+    distance tile (halves the bandwidth of the dominant part; ranking
+    perturbed only between near-equal neighbors). NOTE: as of this
+    libtpu/Mosaic version the bf16 compare-broadcast pattern fails to
+    lower on real TPUs ("Invalid relayout … vector<…xi1>"; bf16 argmin is
+    likewise unsupported), so the option is OFF by default and exercised
+    only in interpreter mode — kept as the switch to flip when Mosaic
+    gains bf16 mask layouts."""
     q = q_ref[:]                           # (QB, 8)
     QB = q.shape[0]
     M = t_ref.shape[1]
@@ -134,15 +144,18 @@ def _knn_kernel(q_ref, t_ref, tsq_ref, idx_ref, dist_ref, *, k: int):
          + tsq_ref[:])                     # (QB, M); masked cols -> +inf
     # (explicit precision: Mosaic rejects the global 'high' 3-pass setting;
     # the 8-deep contraction is cheap at full f32 anyway)
+    if select_bf16:
+        d = d.astype(jnp.bfloat16)
     cols = jax.lax.broadcasted_iota(jnp.int32, (QB, M), 1)
     big_i = jnp.asarray(2**30, jnp.int32)
+    inf = jnp.asarray(jnp.inf, d.dtype)
     for j in range(k):
         mn = jnp.min(d, axis=1)                            # (QB,)
         is_min = d == mn[:, None]
         am = jnp.min(jnp.where(is_min, cols, big_i), axis=1)
         idx_ref[:, j] = am
-        dist_ref[:, j] = mn
-        d = jnp.where(cols == am[:, None], jnp.inf, d)
+        dist_ref[:, j] = mn.astype(jnp.float32)
+        d = jnp.where(cols == am[:, None], inf, d)
 
 
 def knn_pallas(
@@ -152,11 +165,13 @@ def knn_pallas(
     k: int = K_DEFAULT,
     query_block: int = 64,
     interpret: bool = False,
+    select_bf16: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Exact fused KNN: the (QB, M) distance tile lives entirely in VMEM —
     produced by one MXU matmul and consumed by k wide selection passes, no
     HBM round-trip for the tile. ``query_block`` bounds VMEM at
-    QB·M·4 bytes (64×16384 = 4 MB)."""
+    QB·M·4 bytes (64×16384 = 4 MB). ``select_bf16`` currently only lowers
+    in interpreter mode (see kernel docstring)."""
     Q = queries.shape[0]
     M = targets.shape[0]
     padQ = (-Q) % query_block
@@ -171,7 +186,7 @@ def knn_pallas(
     n_q_blocks = q.shape[0] // query_block
     Mp = t.shape[0]
 
-    kernel = functools.partial(_knn_kernel, k=k)
+    kernel = functools.partial(_knn_kernel, k=k, select_bf16=select_bf16)
     idx, dist = pl.pallas_call(
         kernel,
         grid=(n_q_blocks,),
@@ -231,14 +246,16 @@ def knn_approx(
     targets: jnp.ndarray,
     t_mask: jnp.ndarray,
     k: int = K_DEFAULT,
-    query_chunk: int = 1024,
+    query_chunk: int = 2048,
     recall_target: float = 0.95,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """TPU-optimized approximate KNN: full distance rows reduced with
     ``jax.lax.approx_max_k`` (the hardware PartialReduce top-k). Measured
-    ~1.5× faster than the exact kernels at ICP map shapes with ≥0.98
-    neighbor recall — and a missed 5th neighbor only perturbs a 5-point
-    line/plane fit that the eligibility gates re-validate anyway."""
+    (dispatch-free) 6× faster than the exact Pallas kernel at ICP map
+    shapes (88 µs vs 526 µs at 3984×8192, v5e; query_chunk=2048 is the
+    sweet spot — 110 µs vs 214 µs at 1024) with ≥0.95 neighbor recall —
+    and a missed 5th neighbor only perturbs a 5-point line/plane fit that
+    the eligibility gates re-validate anyway."""
     t_sq = jnp.sum(targets * targets, axis=-1)
     inf = jnp.asarray(jnp.inf, queries.dtype)
     Q = queries.shape[0]
@@ -267,22 +284,25 @@ def knn(
     t_mask: jnp.ndarray,
     k: int = K_DEFAULT,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Dispatch: the fused Pallas kernel on TPU (exact, and the fastest
-    measured path — 38 µs vs 51 µs XLA / 50 µs approx-top-k at 4096×16k),
-    falling back to the hardware approx-top-k for target sets too large for
-    the kernel's VMEM-resident distance tile; sort-based top_k on CPU,
-    chunked-scan XLA elsewhere."""
+    """Dispatch: hardware approx-top-k on TPU — dispatch-free (rep-count
+    differenced) v5e measurements at the registration shapes put it well
+    ahead of the exact kernels (3984×8192: approx 88 µs vs Pallas 526 µs
+    vs XLA ~2 ms; 1920×4096: ~45 µs vs 141 µs): the PartialReduce unit
+    collapses each distance row in ~one pass where the Pallas kernel pays
+    k explicit min/argmin/mask passes over the VMEM tile. Its ≥0.95
+    per-neighbor recall only perturbs 5-point line/plane fits that the
+    eligibility gates re-validate. ``VIL_KNN=pallas|xla|approx`` forces a
+    path (the exact Pallas kernel remains the parity reference on TPU);
+    sort-based top_k on CPU, chunked-scan XLA elsewhere."""
     import os
 
     platform = jax.devices()[0].platform
     force = os.environ.get("VIL_KNN", "")
     if platform == "tpu":
-        if force == "approx":
-            return knn_approx(queries, targets, t_mask, k)
+        if force == "pallas" and targets.shape[0] <= PALLAS_MAX_TARGETS:
+            return knn_pallas(queries, targets, t_mask, k)
         if force == "xla":
             return knn_xla(queries, targets, t_mask, k)
-        if targets.shape[0] <= PALLAS_MAX_TARGETS:
-            return knn_pallas(queries, targets, t_mask, k)
         return knn_approx(queries, targets, t_mask, k)
     if platform == "cpu":
         return knn_topk(queries, targets, t_mask, k)
