@@ -90,9 +90,11 @@ def main():
               jax.jit(lambda im: jax.vmap(
                   lambda x: T.detect(x, 64, nms_radius=8, border=12))(im)),
               images)
-        bench("lidar_depth_map (vmap T)",
+        bench("project_sweep+depth_at 64q (vmap T)",
               jax.jit(lambda p, v: jax.vmap(
-                  lambda a, b: F.lidar_depth_map(fe_cfg, a, b))(p, v)),
+                  lambda a, b: F.depth_at(
+                      fe_cfg, F.project_sweep(fe_cfg, a, b),
+                      jnp.full((64, 2), 50.0, a.dtype)))(p, v)),
               pts_cam, pv)
         uv = jnp.asarray(rng.uniform(20, min(W, H) - 20, (M, 2)), dtype)
         valid = jnp.ones((M,), dtype)

@@ -19,44 +19,52 @@ from vil_sensor_fusion_tpu.frontends.vio import frontend as F
 DTYPE = jnp.float32
 
 
-class TestDepthMap:
+class TestDepthAssociation:
     def _cfg(self):
         cam = V.camera.Camera(fx=100.0, fy=100.0, cx=64.0, cy=48.0,
                               width=128, height=96)
-        return F.FrontendConfig(cam=cam, depth_grid=8)
+        return F.FrontendConfig(cam=cam, depth_radius_px=12.0)
 
-    def test_splat_and_query(self):
+    def test_project_and_query(self):
         cfg = self._cfg()
         # One point straight ahead at depth 5: projects to the principal
-        # point (64, 48) → cell (6, 8).
+        # point (64, 48).
         pts = jnp.array([[0.0, 0.0, 5.0]], DTYPE)
-        dmap = F.lidar_depth_map(cfg, pts, jnp.ones(1, DTYPE))
-        assert dmap.shape == (96 // 8, 128 // 8, 3)
-        d = F.depth_at(cfg, dmap, jnp.array([[64.0, 48.0]], DTYPE))
+        proj = F.project_sweep(cfg, pts, jnp.ones(1, DTYPE))
+        assert proj.shape == (1, 3)
+        np.testing.assert_allclose(np.asarray(proj[0]), [64.0, 48.0, 5.0],
+                                   atol=1e-5)
+        d = F.depth_at(cfg, proj, jnp.array([[64.0, 48.0]], DTYPE))
         np.testing.assert_allclose(np.asarray(d), [5.0], atol=1e-6)
 
-    def test_angularly_nearest_point_wins(self):
-        # Two points in one cell: the cell keeps its most CENTRAL projected
-        # point ((67.3, 51.3), nearer the cell center than (64, 48)), and a
-        # query returns that stored point's depth — nearest-in-image
-        # association, not min-depth (which foreground-biases landmark
-        # ranges and collapses VIO scale).
+    def test_nearest_in_image_wins(self):
+        # Two nearby returns: the query takes the depth of the return
+        # closest IN THE IMAGE — nearest-in-image association, not
+        # min-depth (which foreground-biases landmark ranges and collapses
+        # VIO scale). Query at (67, 51) sits nearer the (67.3, 51.3)
+        # projection of the depth-3 point than the (64, 48) one.
         cfg = self._cfg()
         pts = jnp.array([[0.0, 0.0, 5.0], [0.1, 0.1, 3.0]], DTYPE)
-        dmap = F.lidar_depth_map(cfg, pts, jnp.ones(2, DTYPE))
-        d = F.depth_at(cfg, dmap, jnp.array([[64.0, 48.0]], DTYPE))
+        proj = F.project_sweep(cfg, pts, jnp.ones(2, DTYPE))
+        d = F.depth_at(cfg, proj, jnp.array([[67.0, 51.0]], DTYPE))
         np.testing.assert_allclose(np.asarray(d), [3.0], atol=1e-6)
+        d0 = F.depth_at(cfg, proj, jnp.array([[64.0, 48.0]], DTYPE))
+        np.testing.assert_allclose(np.asarray(d0), [5.0], atol=1e-6)
 
     def test_invalid_points_ignored(self):
         cfg = self._cfg()
         pts = jnp.array([[0.0, 0.0, 5.0]], DTYPE)
-        dmap = F.lidar_depth_map(cfg, pts, jnp.zeros(1, DTYPE))
-        assert float(dmap.max()) == 0.0
+        proj = F.project_sweep(cfg, pts, jnp.zeros(1, DTYPE))
+        assert float(proj[0, 2]) == 0.0
+        d = F.depth_at(cfg, proj, jnp.array([[64.0, 48.0]], DTYPE))
+        assert float(d[0]) == 0.0
 
-    def test_no_depth_returns_zero(self):
+    def test_outside_radius_returns_zero(self):
         cfg = self._cfg()
-        dmap = jnp.zeros((12, 16, 3), DTYPE)
-        d = F.depth_at(cfg, dmap, jnp.array([[64.0, 48.0]], DTYPE))
+        pts = jnp.array([[0.0, 0.0, 5.0]], DTYPE)
+        proj = F.project_sweep(cfg, pts, jnp.ones(1, DTYPE))
+        # Query 20 px away from the only return (radius is 12 px).
+        d = F.depth_at(cfg, proj, jnp.array([[84.0, 48.0]], DTYPE))
         assert float(d[0]) == 0.0
 
 

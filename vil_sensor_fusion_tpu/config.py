@@ -154,8 +154,13 @@ def frontend_config_from_dict(d: dict, cam):
         min_dist=float(d.get("min_dist", 16.0)),
         nms_radius=int(d.get("nms_radius", 8)),
         border=int(d.get("border", 12)),
-        depth_grid=int(d.get("depth_grid", 8)),
-        depth_search=int(d.get("depth_search", 1)),
+        # Back-compat: older configs expressed the association reach as
+        # (depth_search) cells of (depth_grid) px; both map onto the
+        # direct pixel radius of the nearest-in-image association.
+        depth_radius_px=float(d.get(
+            "depth_radius_px",
+            (int(d.get("depth_search", 1)) + 0.5)
+            * int(d.get("depth_grid", 8)))),
         max_depth=float(d.get("max_depth", 120.0)),
     )
 

@@ -8,7 +8,7 @@ camera). The whole frontend is a single ``lax.scan`` over frames:
 
   image ─→ pyramid ─→ KLT (continue slots) ──┐
   image ─→ Shi-Tomasi detect ─→ replenish ───┼─→ VioFrameInput per frame
-  sweep points (camera frame) ─→ depth map ──┘
+  sweep points (camera frame) ─→ projected depths ┘
 
 Slot management is static-shape: M landmark slots, C detection candidates,
 rank-matching assignment of candidates to free slots (no host loops — the
@@ -40,9 +40,10 @@ class FrontendConfig(NamedTuple):
     min_dist: float = 16.0         # min pixel distance to a live track
     nms_radius: int = 8
     border: int = 12
-    # LiDAR depth association (useDepthFromLiDAR):
-    depth_grid: int = 8            # depth-map cell size in pixels
-    depth_search: int = 1          # neighborhood cells searched per query
+    # LiDAR depth association (useDepthFromLiDAR): a feature's depth is
+    # that of the projected LiDAR return closest in the image, within this
+    # pixel radius.
+    depth_radius_px: float = 12.0
     max_depth: float = 120.0
 
 
@@ -68,90 +69,51 @@ def init_tracker(cfg: FrontendConfig, num_slots: int,
 
 
 # ---------------------------------------------------------------------------
-# LiDAR depth map (the useDepthFromLiDAR path)
+# LiDAR feature depth (the useDepthFromLiDAR path)
 # ---------------------------------------------------------------------------
 
-def lidar_depth_map(
+def project_sweep(
     cfg: FrontendConfig,
     points_cam: jnp.ndarray,       # (P, 3) sweep points in the camera frame
     point_valid: jnp.ndarray,      # (P,)
 ) -> jnp.ndarray:
-    """Splat sweep points into a coarse (H/g, W/g, 3) grid of
-    (depth, u, v): each cell stores its ANGULARLY MOST CENTRAL projected
-    point — the depth associated with a feature is that of the LiDAR return
-    closest in the image, not the nearest-in-range surface in the cell (a
-    min-depth cell systematically under-ranges landmarks: foreground bias
-    → monocular-style scale collapse of the whole VIO).
+    """Project the sweep into the image once: (P, 3) rows of (u, v, z),
+    z = 0 marking returns that miss the image / range gates. This is the
+    per-frame precomputation behind :func:`depth_at`'s nearest-in-image
+    association (ROVIO's useDepthFromLiDAR, rovio.cfg:133-138).
 
-    depth 0 = no point in the cell.
-
-    TPU note: implemented as dense masked reductions over a (cells, P)
-    comparison tile rather than a scatter — XLA serializes batched scatters
-    on TPU (a vmapped `.at[].min` over 80 frames ran long enough to trip
-    device timeouts), while the dense compare is a few VPU-friendly
-    reductions. At the default 8-px grid this is ~2k×7k per frame; callers
-    at higher camera resolutions should scale ``depth_grid`` to keep the
-    angular cell size (and this tile) constant."""
-    dtype = points_cam.dtype
-    g = cfg.depth_grid
-    Hg = cfg.cam.height // g
-    Wg = cfg.cam.width // g
-    C_cells = Hg * Wg
+    TPU note (design history): an earlier grid-based variant splatted the
+    points into (H/8, W/8) cells via a dense (cells, P) comparison tile —
+    ~8 passes over 54 M elements per 800×600 frame, which dominated the
+    whole detection stage (517 ms of a 3.7 s batched pass). Direct
+    association against the projected points needs only a
+    (queries≈88, P≈7200) tile per frame — ~85× less work — and removes
+    the cell-quantization bias entirely: every query sees the truly
+    nearest return, not its cell's representative."""
     uv, ok = C.project(cfg.cam, points_cam)
     z = points_cam[..., 2]
     ok = ok & (point_valid > 0) & (z > 0.1) & (z < cfg.max_depth)
-    cu = jnp.clip((uv[..., 0] / g).astype(jnp.int32), 0, Wg - 1)
-    cv = jnp.clip((uv[..., 1] / g).astype(jnp.int32), 0, Hg - 1)
-    flat = jnp.where(ok, cv * Wg + cu, -1)
-    big = jnp.asarray(1e9, dtype)
-    cell_ids = jnp.arange(C_cells, dtype=jnp.int32)
-    hit = cell_ids[:, None] == flat[None, :]              # (cells, P)
-    # Representative point per cell: minimal pixel offset to cell center.
-    ctr_u = ((cell_ids % Wg).astype(dtype) + 0.5) * g
-    ctr_v = ((cell_ids // Wg).astype(dtype) + 0.5) * g
-    off2 = ((uv[None, :, 0] - ctr_u[:, None]) ** 2
-            + (uv[None, :, 1] - ctr_v[:, None]) ** 2)
-    off2 = jnp.where(hit, off2, big)
-    best = jnp.min(off2, axis=1)                          # (cells,)
-    sel = off2 <= best[:, None]
-    pick = lambda val: jnp.min(jnp.where(sel & hit, val[None, :], big),
-                               axis=1)
-    depth = pick(z)
-    pu = pick(uv[..., 0])
-    pv = pick(uv[..., 1])
-    empty = best >= big
-    grid = jnp.stack([jnp.where(empty, 0.0, depth),
-                      jnp.where(empty, 0.0, pu),
-                      jnp.where(empty, 0.0, pv)], axis=-1)
-    return grid.reshape(Hg, Wg, 3)
+    zed = jnp.where(ok, z, 0.0)
+    return jnp.stack([uv[..., 0], uv[..., 1], zed], axis=-1)
 
 
-def depth_at(cfg: FrontendConfig, depth_map: jnp.ndarray,
+def depth_at(cfg: FrontendConfig, proj: jnp.ndarray,
              uv: jnp.ndarray) -> jnp.ndarray:
-    """Query each pixel's depth: among the (2s+1)² neighboring cells, take
-    the stored point CLOSEST IN THE IMAGE to the query (the ROVIO
-    useDepthFromLiDAR association). Returns (N,) depths, 0 where none
-    available."""
-    dtype = depth_map.dtype
-    Hg, Wg, _ = depth_map.shape
-    g = cfg.depth_grid
-    s = cfg.depth_search
-    cu = jnp.clip((uv[..., 0] / g).astype(jnp.int32), 0, Wg - 1)
-    cv = jnp.clip((uv[..., 1] / g).astype(jnp.int32), 0, Hg - 1)
-    big = jnp.asarray(1e12, dtype)
-    best_d2 = jnp.full(uv.shape[:-1], big, dtype)
-    best = jnp.zeros(uv.shape[:-1], dtype)
-    for dv in range(-s, s + 1):
-        for du in range(-s, s + 1):
-            cell = depth_map[jnp.clip(cv + dv, 0, Hg - 1),
-                             jnp.clip(cu + du, 0, Wg - 1)]
-            d, pu, pv = cell[..., 0], cell[..., 1], cell[..., 2]
-            d2 = (pu - uv[..., 0]) ** 2 + (pv - uv[..., 1]) ** 2
-            d2 = jnp.where(d > 0, d2, big)
-            take = d2 < best_d2
-            best_d2 = jnp.where(take, d2, best_d2)
-            best = jnp.where(take, d, best)
-    return best
+    """Depth at each query pixel: the projected LiDAR return CLOSEST IN
+    THE IMAGE within ``depth_radius_px`` (the ROVIO useDepthFromLiDAR
+    association — image proximity, NOT min-depth-in-window, which would
+    foreground-bias landmark ranges into monocular-style scale collapse).
+    ``proj`` is :func:`project_sweep`'s (P, 3) output. Returns (N,)
+    depths, 0 where no return is near enough."""
+    d2 = ((proj[None, :, 0] - uv[..., 0, None]) ** 2
+          + (proj[None, :, 1] - uv[..., 1, None]) ** 2)     # (N, P)
+    big = jnp.asarray(1e12, proj.dtype)
+    d2 = jnp.where(proj[None, :, 2] > 0, d2, big)
+    best = jnp.min(d2, axis=-1)
+    sel = d2 <= best[..., None]
+    # Lowest-index tie-break via masked min over z (depths are positive).
+    z = jnp.min(jnp.where(sel, proj[None, :, 2], big), axis=-1)
+    return jnp.where(best <= cfg.depth_radius_px ** 2, z, 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -165,7 +127,7 @@ def _track_and_assign(
     cand_uv: jnp.ndarray,          # (C, 2) detection candidates
     cand_score: jnp.ndarray,       # (C,)
     cand_depth: jnp.ndarray,       # (C,) LiDAR depth per candidate (0 = none)
-    dmap: jnp.ndarray,             # (Hg, Wg, 3) this frame's depth map
+    proj: jnp.ndarray,             # (P, 3) this frame's projected sweep
 ) -> tuple[TrackerState, tuple]:
     """The sequential core of one frontend step: continue tracks via KLT,
     query each continued track's LiDAR depth (the EKF's continuous scale
@@ -179,7 +141,7 @@ def _track_and_assign(
         radius=cfg.klt_radius, iters=cfg.klt_iters,
         max_error=cfg.klt_max_error)
     obs_valid = obs_valid * ts.valid   # dead slots stay dead through KLT
-    obs_depth = depth_at(cfg, dmap, obs_uv) * obs_valid
+    obs_depth = depth_at(cfg, proj, obs_uv) * obs_valid
 
     # 2. Filter candidates: drop those near live tracks or without depth.
     d2 = jnp.sum(
@@ -230,13 +192,13 @@ def frontend_step(
     """Track + replenish one frame. Returns the per-frame observation
     block (obs_uv, obs_valid, new_uv, new_depth, new_enable)."""
     pyr_new = tuple(T.pyramid(image, cfg.pyramid_levels))
-    dmap = lidar_depth_map(cfg, points_cam, point_valid)
+    proj = project_sweep(cfg, points_cam, point_valid)
     cand_uv, cand_score = T.detect(
         image, cfg.n_candidates, nms_radius=cfg.nms_radius,
         border=cfg.border)
-    cand_depth = depth_at(cfg, dmap, cand_uv)
+    cand_depth = depth_at(cfg, proj, cand_uv)
     return _track_and_assign(cfg, ts, pyr_new, cand_uv, cand_score,
-                             cand_depth, dmap)
+                             cand_depth, proj)
 
 
 def pyramids_batch(cfg: FrontendConfig, images: jnp.ndarray):
@@ -251,16 +213,17 @@ def candidates_batch(
     points_cam: jnp.ndarray,       # (T, P, 3)
     point_valid: jnp.ndarray,      # (T, P)
 ):
-    """Batched Shi-Tomasi detection + LiDAR depth maps + candidate depths
+    """Batched Shi-Tomasi detection + projected sweeps + candidate depths
     for all frames: (cand_uv (T,C,2), cand_score (T,C), cand_depth (T,C),
-    dmaps (T,Hg,Wg,3))."""
+    projs (T,P,3))."""
     cand_uv, cand_score = jax.vmap(
         lambda im: T.detect(im, cfg.n_candidates, nms_radius=cfg.nms_radius,
                             border=cfg.border))(images)
-    dmaps = jax.vmap(lambda p, v: lidar_depth_map(cfg, p, v))(
+    projs = jax.vmap(lambda p, v: project_sweep(cfg, p, v))(
         points_cam, point_valid)
-    cand_depth = jax.vmap(lambda d, uv: depth_at(cfg, d, uv))(dmaps, cand_uv)
-    return cand_uv, cand_score, cand_depth, dmaps
+    cand_depth = jax.vmap(lambda pr, uv: depth_at(cfg, pr, uv))(projs,
+                                                                cand_uv)
+    return cand_uv, cand_score, cand_depth, projs
 
 
 def precompute_frames(
@@ -270,8 +233,8 @@ def precompute_frames(
     point_valid: jnp.ndarray,      # (T, P)
 ):
     """Phase 1 of the frontend — everything with no sequential dependency,
-    batched over all frames: pyramids, Shi-Tomasi detection, LiDAR depth
-    maps, candidate depths. Big fused convolutions/top-k on the MXU/VPU.
+    batched over all frames: pyramids, Shi-Tomasi detection, projected
+    sweeps, candidate depths. Big fused convolutions/top-k on the MXU/VPU.
 
     NOTE (TPU): compile :func:`pyramids_batch` and :func:`candidates_batch`
     as SEPARATE programs (as :func:`build_frames` does) — fusing all three
@@ -281,9 +244,9 @@ def precompute_frames(
     Returns (pyramids tuple of (T, h_l, w_l), cand_uv (T,C,2),
     cand_score (T,C), cand_depth (T,C))."""
     pyrs = pyramids_batch(cfg, images)
-    cand_uv, cand_score, cand_depth, dmaps = candidates_batch(
+    cand_uv, cand_score, cand_depth, projs = candidates_batch(
         cfg, images, points_cam, point_valid)
-    return pyrs, cand_uv, cand_score, cand_depth, dmaps
+    return pyrs, cand_uv, cand_score, cand_depth, projs
 
 
 def track_frames(
@@ -292,7 +255,7 @@ def track_frames(
     cand_uv: jnp.ndarray,
     cand_score: jnp.ndarray,
     cand_depth: jnp.ndarray,
-    dmaps: jnp.ndarray,
+    projs: jnp.ndarray,
     imu_windows: tuple,
     num_slots: int,
     ts0: TrackerState | None = None,
@@ -306,14 +269,14 @@ def track_frames(
         ts0 = init_tracker(cfg, num_slots, dtype)
 
     def body(ts, x):
-        pyr_t, cuv, cscore, cdepth, dmap = x
+        pyr_t, cuv, cscore, cdepth, proj = x
         return _track_and_assign(cfg, ts, tuple(pyr_t), cuv, cscore,
-                                 cdepth, dmap)
+                                 cdepth, proj)
 
     ts1, (obs_uv, obs_valid, obs_depth, new_uv, new_depth, new_enable) = \
         jax.lax.scan(
             body, ts0, (tuple(pyrs), cand_uv, cand_score, cand_depth,
-                        dmaps))
+                        projs))
 
     accel, gyro, dts = imu_windows
     return VioFrameInput(
@@ -347,9 +310,9 @@ def build_frames(
     # previous executes faults the axon-tunnel TPU runtime (µs-level cost on
     # this host-orchestrated path).
     pyrs = jax.block_until_ready(p_pyr(images))
-    cand_uv, cand_score, cand_depth, dmaps = jax.block_until_ready(
+    cand_uv, cand_score, cand_depth, projs = jax.block_until_ready(
         p_cand(images, points_cam, point_valid))
-    frames, _ = phase2(pyrs, cand_uv, cand_score, cand_depth, dmaps,
+    frames, _ = phase2(pyrs, cand_uv, cand_score, cand_depth, projs,
                        imu_windows)
     return frames
 
@@ -386,8 +349,8 @@ def sweep_to_camera(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Flatten a sweep and move it into the camera frame (the extrinsic
     part of the useDepthFromLiDAR association; per-frame motion between the
-    sweep and the image is ≤ one frame interval and handled by the coarse
-    depth grid)."""
+    sweep and the image is ≤ one frame interval, within the association
+    radius)."""
     from ...core import lie
 
     pts = sweep_xyz.reshape(-1, 3)
