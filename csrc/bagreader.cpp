@@ -578,4 +578,35 @@ long bag_topic_stamps(void* h, const char* topic, double* t, long max_n) {
   return n;
 }
 
+// Raw record access — the passthrough for the fix-time rewriter
+// (carla_tools/scripts/fix_rosbag_time.py equivalent: rewrite record
+// time := header stamp without touching payloads).
+long bag_record_size(void* h, const char* topic, long index) {
+  Bag* bag = static_cast<Bag*>(h);
+  auto it = bag->by_topic.find(topic);
+  if (it == bag->by_topic.end()) return -1;
+  if (index < 0 || index >= static_cast<long>(it->second.size())) return -1;
+  return static_cast<long>(bag->messages[it->second[index]].data.size());
+}
+
+// Copies the raw serialized message into `out` (up to `cap` bytes) and
+// writes the bag RECORD time (seconds) to *rec_time. Returns bytes copied,
+// or -1 on a bad topic/index.
+long bag_read_record(void* h, const char* topic, long index,
+                     double* rec_time, uint8_t* out, long cap) {
+  Bag* bag = static_cast<Bag*>(h);
+  auto it = bag->by_topic.find(topic);
+  if (it == bag->by_topic.end()) return -1;
+  if (index < 0 || index >= static_cast<long>(it->second.size())) return -1;
+  const Message& m = bag->messages[it->second[index]];
+  // The record header's 8-byte `time` field is a (uint32 sec, uint32 nsec)
+  // pair, stored here as the raw little-endian u64 (sec in the low word).
+  *rec_time = static_cast<double>(m.time_ns & 0xffffffffull)
+      + static_cast<double>(m.time_ns >> 32) * 1e-9;
+  long n = static_cast<long>(m.data.size());
+  if (n > cap) n = cap;
+  std::copy(m.data.begin(), m.data.begin() + n, out);
+  return n;
+}
+
 }  // extern "C"

@@ -1,15 +1,24 @@
 """Multi-minute soak run: the full VIL stack streamed over a long drive in
 fixed-size chunks — the validation the reference gets from its 0:34–5:45
-evaluation bags (sample_bags/README.md).
+evaluation bags (sample_bags/README.md), at the reference sensor rig by
+default (800×600@20 Hz camera, 16×1800@10 Hz sweeps, 200 Hz IMU —
+carla_tools/config/sensors.json).
 
-What it proves (VERDICT r2 'missing #4'):
+What it proves (VERDICT r2 'missing #4', r3 'next #1/#6'):
 - map residency over minutes: the voxel maps run at capacity with
   keep_radius eviction while registration keeps converging,
 - fixed-lag drift: bounded fused ATE over the whole drive,
-- f32 time handling: timestamps up to duration*, IMU window extraction and
+- f32 time handling: timestamps up to duration, IMU window extraction and
   preintegration stay accurate,
 - checkpoint→resume: states saved mid-drive and restored into a fresh
-  process-state reproduce the uninterrupted run exactly.
+  process-state reproduce the uninterrupted run exactly,
+- sustained throughput: the timed per-chunk path is the DEVICE pipeline
+  only — three compiled programs per chunk (batched pyramids, batched
+  detection/depth, and one fused estimator program covering
+  track→VIO→ICP→gate→timeline→fixed-lag fusion), with every index/merge
+  precomputed statically. No per-chunk host assembly, no device→host
+  pulls inside the timed region (r3's streaming path lost 3× to exactly
+  those).
 
 The drive streams in chunks (one compile per stage at chunk shape); every
 stage's state (tracker, EKF, LiDAR map, fusion engine) carries across
@@ -18,6 +27,7 @@ chunks — the same mechanism a live deployment would use.
 Usage:
   python scripts/soak.py --duration 345 --chunk 10          # the 5:45 bag
   python scripts/soak.py --duration 60 --checkpoint-test
+  python scripts/soak.py --duration 60 --cam 160x120 --landmarks 16
 """
 
 import argparse
@@ -37,10 +47,10 @@ import jax
 import jax.numpy as jnp
 
 
-def run_soak(duration=60.0, chunk=10.0, cam_w=160, cam_h=120, speed=4.0,
-             checkpoint_test=False, checkpoint_dir="/tmp/soak_ckpt",
-             verbose=True, dtype=None, vio_use_odom_cov=False,
-             vio_cov=0.3, lidar_cov=0.05):
+def run_soak(duration=60.0, chunk=10.0, cam_w=800, cam_h=600, speed=4.0,
+             landmarks=24, checkpoint_test=False,
+             checkpoint_dir="/tmp/soak_ckpt", verbose=True, dtype=None,
+             vio_use_odom_cov=False, vio_cov=0.3, lidar_cov=0.05):
     from vil_sensor_fusion_tpu import fusion as fu
     from vil_sensor_fusion_tpu import graph as G
     from vil_sensor_fusion_tpu import utils as U
@@ -52,7 +62,6 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=160, cam_h=120, speed=4.0,
     from vil_sensor_fusion_tpu.frontends import vio as V
     from vil_sensor_fusion_tpu.frontends.vio import frontend as F
     from vil_sensor_fusion_tpu.fusion import engine as E
-    from vil_sensor_fusion_tpu.fusion import vil as VIL
 
     dtype = dtype or jnp.float32
     t_wall0 = time.perf_counter()
@@ -83,14 +92,19 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=160, cam_h=120, speed=4.0,
     traj = syn.trajectory(pos_fn, rot_fn)
 
     vio_hz, lidar_hz, imu_hz = 20.0, 10.0, 200.0
-    cam = V.camera.Camera(fx=107.0 * cam_w / 160, fy=107.0 * cam_w / 160,
-                          cx=cam_w / 2.0, cy=cam_h / 2.0,
-                          width=cam_w, height=cam_h)
+    # Camera intrinsics at carla fov for the chosen resolution; detection
+    # density scales with the pixel budget (bench settings at the full rig).
+    big_cam = cam_w >= 400
+    cam = V.camera.carla_camera(width=cam_w, height=cam_h) if big_cam else \
+        V.camera.Camera(fx=107.0 * cam_w / 160, fy=107.0 * cam_w / 160,
+                        cx=cam_w / 2.0, cy=cam_h / 2.0,
+                        width=cam_w, height=cam_h)
     pose_ic = F.forward_camera_extrinsics(dtype)
-    vio_cfg = V.VioConfig(num_landmarks=16, update_iters=2, cam=cam,
+    vio_cfg = V.VioConfig(num_landmarks=landmarks, update_iters=2, cam=cam,
                           pose_ic=tuple(np.asarray(pose_ic)))
-    fe_cfg = F.FrontendConfig(cam=cam, n_candidates=32, min_dist=10.0,
-                              min_score=0.5)
+    fe_cfg = F.FrontendConfig(
+        cam=cam, n_candidates=64 if big_cam else 32,
+        min_dist=24.0 if big_cam else 10.0, min_score=0.5)
     lidar_cfg = L.LidarOdomConfig(
         icp=L.IcpConfig(iters=6, degen_eigval=5.0, fit_every=2,
                         final_refresh=False, eig_sweeps=4),
@@ -101,9 +115,9 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=160, cam_h=120, speed=4.0,
     gate_cfg = DG.GateConfig(rot_threshold=4.0, trans_threshold=-6.0,
                              normalize_per_corr=True)
     # Sensor weights calibrated for THIS rig (the reference's 0.1/0.2 are
-    # tuned for ROVIO-quality VIO; at the soak's 160x120 camera the LiDAR
-    # odometry is the stronger stream — same per-sensor covariance config
-    # surface, fusion_params.yaml:8-9,17-18):
+    # tuned for ROVIO-quality VIO; the LiDAR odometry is the stronger
+    # stream — same per-sensor covariance config surface,
+    # fusion_params.yaml:8-9,17-18):
     # ``vio_use_odom_cov`` makes the EKF's own POSE covariance — which
     # GROWS with drift — the between-factor noise, so a drifting VIO is
     # adaptively downweighted against the bounded ICP covariance over long
@@ -130,40 +144,88 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=160, cam_h=120, speed=4.0,
     Tl = int(chunk * lidar_hz)        # sweeps per chunk
     sweep_stride = 4
 
+    # --- static per-chunk structure (identical for every chunk) ------------
+    vio_rel = (np.arange(Tv) + 1.0) / vio_hz
+    lidar_rel = (np.arange(Tl) + 1.0) / lidar_hz
+    sw_idx = jnp.asarray(np.clip(np.searchsorted(
+        lidar_rel, vio_rel + 1e-9) - 1, 0, None))
+    guess_idx = jnp.asarray(np.clip(np.searchsorted(
+        vio_rel, lidar_rel + 1e-9) - 1, 0, None))
+    all_rel = np.concatenate([vio_rel, lidar_rel])
+    order_np = np.argsort(all_rel, kind="stable")
+    order = jnp.asarray(order_np)
+    src = jnp.asarray(np.concatenate(
+        [np.zeros(Tv, np.int32), np.ones(Tl, np.int32)])[order_np])
+    rel_sorted = jnp.asarray(all_rel[order_np], dtype)
+    rel_sorted_np = all_rel[order_np]
+
     # --- jitted per-chunk programs (compiled once at chunk shape) ----------
     render_sweeps = jax.jit(lambda poses: rc.sweep_series(world, poses))
     render_imgs = jax.jit(lambda poses_cam: rc.render_camera_series(
         world, poses_cam, cam))
     p_pyr = jax.jit(lambda im: F.pyramids_batch(fe_cfg, im))
     p_cand = jax.jit(lambda im, p, v: F.candidates_batch(fe_cfg, im, p, v))
-    p_track = jax.jit(lambda py, cu, cs, cd, dm, iw, ts: F.track_frames(
-        fe_cfg, py, cu, cs, cd, dm, iw, vio_cfg.num_landmarks, ts0=ts))
-    vio_run = jax.jit(lambda s, f: V.run(vio_cfg, s, f))
-    lidar_run = jax.jit(lambda st, sw, g: L.odometry.run(
-        lidar_cfg, st, sw, g))
-    gate_fn = jax.jit(lambda h, n: DG.logdet_gate(h, gate_cfg, n_corr=n))
-    engine_run = jax.jit(lambda es, tl, it, ia, ig: E.run(
-        fusion_cfg, es, tl, it, ia, ig))
+
+    def estimator_chunk(state, py, cu, cs, cd, prj, imu_w, sweeps,
+                        t_off, imu_t, imu_a, imu_g):
+        """The whole sequential estimator for one chunk as ONE compiled
+        program: KLT/slot scan → EKF → (VIO-delta priors) → two-stage
+        LiDAR odometry → log-det gate → static-order timeline → fixed-lag
+        fusion. All cross-stage glue (guess selection, timeline merge)
+        happens on device with precomputed static indices."""
+        frames, ts1 = F.track_frames(
+            fe_cfg, py, cu, cs, cd, prj, imu_w, vio_cfg.num_landmarks,
+            ts0=state["tracker"])
+        vs1, vio_out = V.run(vio_cfg, state["vio"], frames)
+        vio_sel = vio_out.pose[guess_idx]
+        prev_sel = jnp.concatenate(
+            [state["vio_ref"][None], vio_sel[:-1]], axis=0)
+        guesses = jax.vmap(lie.pose_between)(prev_sel, vio_sel)
+        ls1, lidar_out = L.odometry.run(
+            lidar_cfg, state["lidar"], sweeps, guesses)
+        gres = DG.logdet_gate(lidar_out.hessian, gate_cfg,
+                              n_corr=lidar_out.n_corr)
+        vio_keep = jnp.ones((Tv,), dtype)
+        tl = E.Timeline(
+            times=(t_off + rel_sorted).astype(dtype), source=src,
+            odo_pose=jnp.concatenate(
+                [vio_out.pose, lidar_out.pose], axis=0)[order],
+            odo_cov=jnp.concatenate(
+                [vio_out.cov, lidar_out.cov], axis=0)[order],
+            keep=jnp.concatenate([vio_keep, gres.keep], axis=0)[order],
+            valid=jnp.ones((Tv + Tl,), dtype),
+        )
+        es1, fused = E.run(fusion_cfg, state["engine"], tl, imu_t,
+                           imu_a, imu_g)
+        new_state = dict(tracker=ts1, vio=vs1, lidar=ls1, engine=es1,
+                         vio_ref=vio_sel[-1])
+        return new_state, (vio_out, lidar_out, gres, fused)
+
+    p_est = jax.jit(estimator_chunk)
 
     # --- initial states ----------------------------------------------------
     t0j = jnp.zeros((), dtype)
     pose0 = traj.pose_fn(t0j).astype(dtype)
     vel0 = traj.vel_fn(t0j).astype(dtype)
-    state = dict(
-        tracker=F.init_tracker(fe_cfg, vio_cfg.num_landmarks, dtype),
-        vio=V.init(vio_cfg, pose0, vel0, jnp.zeros(6, dtype)),
-        lidar=L.odometry.init(lidar_cfg, dtype, pose0=pose0),
-        engine=fu.init(fusion_cfg, pose0, vel0, jnp.zeros(6, dtype),
-                       t0j - 1e-3),
-        vio_ref=pose0,     # VIO pose at the previous sweep's frame
-    )
+
+    def fresh_state():
+        return dict(
+            tracker=F.init_tracker(fe_cfg, vio_cfg.num_landmarks, dtype),
+            vio=V.init(vio_cfg, pose0, vel0, jnp.zeros(6, dtype)),
+            lidar=L.odometry.init(lidar_cfg, dtype, pose0=pose0),
+            engine=fu.init(fusion_cfg, pose0, vel0, jnp.zeros(6, dtype),
+                           t0j - 1e-3),
+            vio_ref=pose0,     # VIO pose at the previous sweep's frame
+        )
+
+    state = fresh_state()
 
     def run_chunks(state, k0, k1, collect):
         """Stream chunks [k0, k1); append metrics to ``collect``."""
         for k in range(k0, k1):
             tc0 = k * chunk
-            vio_times = tc0 + (np.arange(Tv) + 1.0) / vio_hz
-            lidar_times = tc0 + (np.arange(Tl) + 1.0) / lidar_hz
+            vio_times = tc0 + vio_rel
+            lidar_times = tc0 + lidar_rel
             tj_v = jnp.asarray(vio_times, dtype)
             tj_l = jnp.asarray(lidar_times, dtype)
             poses_v = jax.vmap(traj.pose_fn)(tj_v).astype(dtype)
@@ -175,18 +237,18 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=160, cam_h=120, speed=4.0,
             images = jax.block_until_ready(render_imgs(poses_cam))
 
             # Per-frame camera-frame sweep points (depth association).
-            sw_idx = np.clip(np.searchsorted(
-                lidar_times, vio_times + 1e-9) - 1, 0, None)
             sw_xyz = sweeps.xyz[:, :, ::sweep_stride, :].reshape(
-                Tl, -1, 3)[jnp.asarray(sw_idx)]
+                Tl, -1, 3)[sw_idx]
             sw_msk = sweeps.mask[:, :, ::sweep_stride].reshape(
-                Tl, -1)[jnp.asarray(sw_idx)]
-            p_l = poses_l[jnp.asarray(sw_idx)]
+                Tl, -1)[sw_idx]
+            p_l = poses_l[sw_idx]
             pose_cl = jax.vmap(lambda pc, pl_: lie.pose_compose(
                 lie.pose_inverse(pc), pl_))(poses_cam, p_l)
             pts_cam = jax.vmap(lambda x, q, t: lie.quat_rotate(
                 q[None], x) + t[None])(sw_xyz, lie.pose_quat(pose_cl),
                                        lie.pose_trans(pose_cl))
+            pts_cam = pts_cam.astype(dtype)
+            sw_msk = sw_msk.astype(dtype)
 
             # IMU stream for the chunk (+1 window of margin backwards).
             imu_t0 = max(0.0, tc0 - 0.25)
@@ -195,42 +257,25 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=160, cam_h=120, speed=4.0,
             imu = syn.sample_imu(traj, imu_t)
             imu_w = V.synthetic.imu_windows_for_frames(
                 traj, vio_times, imu_hz=imu_hz, dtype=dtype, t_start=tc0)
+            imu_args = (imu.times.astype(dtype), imu.accel.astype(dtype),
+                        imu.gyro.astype(dtype))
+            jax.block_until_ready((pts_cam, sw_msk, imu_w, imu_args))
 
+            # ---- timed region: the device pipeline only -------------------
             t_c = time.perf_counter()
             py = jax.block_until_ready(p_pyr(images))
-            cu, cs, cd, dm = jax.block_until_ready(
-                p_cand(images, pts_cam.astype(dtype), sw_msk.astype(dtype)))
-            frames, ts1 = jax.block_until_ready(
-                p_track(py, cu, cs, cd, dm, imu_w, state["tracker"]))
-            vs1, vio_out = jax.block_until_ready(
-                vio_run(state["vio"], frames))
-            guess_idx = np.clip(np.searchsorted(
-                vio_times, lidar_times + 1e-9) - 1, 0, None)
-            vio_sel = vio_out.pose[jnp.asarray(guess_idx)]
-            prev_sel = jnp.concatenate(
-                [state["vio_ref"][None], vio_sel[:-1]], axis=0)
-            guesses = jax.vmap(lie.pose_between)(prev_sel, vio_sel)
-            ls1, lidar_out = jax.block_until_ready(
-                lidar_run(state["lidar"], sweeps, guesses))
-            gres = jax.block_until_ready(
-                gate_fn(lidar_out.hessian, lidar_out.n_corr))
-            tl = E.merge_timeline([
-                (vio_times, np.asarray(vio_out.pose),
-                 np.asarray(vio_out.cov), np.ones(Tv)),
-                (lidar_times, np.asarray(lidar_out.pose),
-                 np.asarray(lidar_out.cov), np.asarray(gres.keep)),
-            ])
-            tl = jax.tree_util.tree_map(
-                lambda x: x.astype(dtype)
-                if jnp.issubdtype(x.dtype, jnp.floating) else x, tl)
-            es1, fused = jax.block_until_ready(engine_run(
-                state["engine"], tl, imu.times.astype(dtype),
-                imu.accel.astype(dtype), imu.gyro.astype(dtype)))
-            wall = time.perf_counter() - t_c
+            t_pyr = time.perf_counter()
+            cu, cs, cd, prj = jax.block_until_ready(
+                p_cand(images, pts_cam, sw_msk))
+            t_cand = time.perf_counter()
+            state, (vio_out, lidar_out, gres, fused) = jax.block_until_ready(
+                p_est(state, py, cu, cs, cd, prj, imu_w, sweeps,
+                      jnp.asarray(tc0, dtype), *imu_args))
+            t_est = time.perf_counter()
+            wall = t_est - t_c
 
-            state = dict(tracker=ts1, vio=vs1, lidar=ls1, engine=es1,
-                         vio_ref=vio_sel[-1])
-            gt = np.asarray(jax.vmap(traj.pose_fn)(tl.times))
+            gt = np.asarray(jax.vmap(traj.pose_fn)(
+                jnp.asarray(tc0 + rel_sorted_np, dtype)))
             err = np.linalg.norm(np.asarray(fused.poses)[:, 4:7]
                                  - gt[:, 4:7], axis=-1)
             verr = np.linalg.norm(
@@ -242,11 +287,13 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=160, cam_h=120, speed=4.0,
             collect.append(dict(
                 chunk=k, t0=tc0,
                 wall_s=wall,
+                wall_pyr=t_pyr - t_c, wall_cand=t_cand - t_pyr,
+                wall_est=t_est - t_cand,
                 err_mean=float(err.mean()), err_max=float(err.max()),
                 vio_err_max=float(verr.max()),
                 lidar_err_max=float(lerr.max()),
-                map_corner=float(jnp.sum(ls1.corner_map.mask)),
-                map_surf=float(jnp.sum(ls1.surf_map.mask)),
+                map_corner=float(jnp.sum(state["lidar"].corner_map.mask)),
+                map_surf=float(jnp.sum(state["lidar"].surf_map.mask)),
                 keep=float(np.asarray(gres.keep).mean()),
                 healthy=float(np.asarray(fused.healthy).mean()),
                 last_pose=np.asarray(fused.poses)[-1],
@@ -257,7 +304,8 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=160, cam_h=120, speed=4.0,
                 f"/{collect[-1]['map_surf']:.0f}, keep "
                 f"{collect[-1]['keep']:.2f}, healthy "
                 f"{collect[-1]['healthy']:.2f}, {wall:.2f}s wall "
-                f"({chunk / wall:.1f}x RT)")
+                f"({chunk / wall:.1f}x RT; pyr {t_pyr - t_c:.2f} cand "
+                f"{t_cand - t_pyr:.2f} est {t_est - t_cand:.2f})")
         return state
 
     metrics: list = []
@@ -269,16 +317,8 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=160, cam_h=120, speed=4.0,
         # Uninterrupted continuation:
         state_cont = run_chunks(state, k_half, n_chunks, list(metrics))
         # Resume from disk into a FRESH template:
-        fresh = dict(
-            tracker=F.init_tracker(fe_cfg, vio_cfg.num_landmarks, dtype),
-            vio=V.init(vio_cfg, pose0, vel0, jnp.zeros(6, dtype)),
-            lidar=L.odometry.init(lidar_cfg, dtype, pose0=pose0),
-            engine=fu.init(fusion_cfg, pose0, vel0, jnp.zeros(6, dtype),
-                           t0j - 1e-3),
-            vio_ref=pose0,
-        )
         restored = U.restore(os.path.join(checkpoint_dir, "soak.npz"),
-                             fresh)
+                             fresh_state())
         state_res = run_chunks(restored, k_half, n_chunks, metrics)
         a = np.asarray(state_cont["engine"].smoother.states.poses)
         b = np.asarray(state_res["engine"].smoother.states.poses)
@@ -292,6 +332,7 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=160, cam_h=120, speed=4.0,
     walls = [m["wall_s"] for m in metrics]
     summary = dict(
         duration_s=simulated_s, chunks=len(metrics),
+        cam=f"{cam_w}x{cam_h}", landmarks=landmarks,
         distance_m=speed * simulated_s,
         err_mean_m=float(np.mean([m["err_mean"] for m in metrics])),
         err_max_m=float(np.max(errs)),
@@ -303,6 +344,16 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=160, cam_h=120, speed=4.0,
         healthy_mean=float(np.mean([m["healthy"] for m in metrics])),
         wall_s_total=float(np.sum(walls)),
         realtime_factor=float(simulated_s / np.sum(walls)),
+        # Excluding the first chunk, which carries one-time jit compiles
+        # (cached across runs by the persistent compilation cache): the
+        # sustained per-chunk rate of a long-running deployment.
+        realtime_factor_steady=float(
+            (simulated_s - chunk) / np.sum(walls[1:]))
+        if len(walls) > 1 else None,
+        stages_s_mean=dict(
+            pyr=float(np.mean([m["wall_pyr"] for m in metrics])),
+            cand=float(np.mean([m["wall_cand"] for m in metrics])),
+            est=float(np.mean([m["wall_est"] for m in metrics]))),
         resume_max_delta=resume_err,
         platform=jax.devices()[0].platform,
     )
@@ -313,15 +364,22 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--duration", type=float, default=60.0)
     ap.add_argument("--chunk", type=float, default=10.0)
+    ap.add_argument("--cam", default="800x600",
+                    help="camera resolution WxH (reference rig: 800x600)")
+    ap.add_argument("--landmarks", type=int, default=24)
     ap.add_argument("--checkpoint-test", action="store_true")
     ap.add_argument("--vio-odom-cov", action="store_true",
                     help="use the EKF's own pose covariance as the VIO "
-                         "between-factor noise (reference "
-                         "use_odom_covariance mode)")
+                         "between-factor noise (adaptive-noise variant of "
+                         "the reference's use_odom_covariance switch; see "
+                         "comment in run_soak)")
     ap.add_argument("--vio-cov", type=float, default=0.3)
     ap.add_argument("--lidar-cov", type=float, default=0.05)
     args = ap.parse_args()
+    cam_w, cam_h = map(int, args.cam.split("x"))
     summary, _ = run_soak(duration=args.duration, chunk=args.chunk,
+                          cam_w=cam_w, cam_h=cam_h,
+                          landmarks=args.landmarks,
                           checkpoint_test=args.checkpoint_test,
                           vio_use_odom_cov=args.vio_odom_cov,
                           vio_cov=args.vio_cov, lidar_cov=args.lidar_cov)

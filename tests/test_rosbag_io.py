@@ -283,3 +283,67 @@ class TestBagWriterRoundtrip:
             t, a, g = bag.read_imu("/imu")
             np.testing.assert_allclose(g[0], [7, 8, 9])
             np.testing.assert_allclose(t[0], 0.25, atol=1e-9)
+
+
+class TestFixBagTime:
+    def test_skewed_record_times_rewritten(self, tmp_path):
+        """fix_bag_time must rewrite record time := header stamp for
+        header-led messages (the reference's fix_rosbag_time.py:28-47:
+        wall-clock record times vs sim-clock headers on externally
+        recorded bags)."""
+        import vil_sensor_fusion_tpu.data.rosbag_writer as W
+        from vil_sensor_fusion_tpu.data.bagtools import fix_bag_time
+        from vil_sensor_fusion_tpu.data.rosbag_io import BagReader
+
+        src = tmp_path / "skewed.bag"
+        # Header stamps 10.0..10.4 s; record times 100..104 s (a 90 s skew,
+        # the signature of recording wall-clock while sim runs slow).
+        with W.BagWriter(src) as w:
+            w.add_topic("/imu", "sensor_msgs/Imu")
+            for i in range(5):
+                hdr = 10.0 + 0.1 * i
+                w.write("/imu", 100.0 + i,
+                        W.imu_msg(hdr, [0, 0, 0], [0, 0, 9.81]))
+            w.add_topic("/odom", "nav_msgs/Odometry")
+            w.write("/odom", 103.0,
+                    W.odometry_msg(10.25, [1, 0, 0, 0, 1, 2, 3]))
+
+        out = tmp_path / "fixed.bag"
+        report = fix_bag_time(src, out)
+        assert report["rewritten"] == 6
+        assert report["kept"] == 0
+        np.testing.assert_allclose(report["max_skew_s"], 104.0 - 10.4,
+                                   atol=1e-6)
+
+        with BagReader(out) as bag:
+            assert bag.count("/imu") == 5
+            for i in range(5):
+                rec_t, payload = bag.read_record("/imu", i)
+                np.testing.assert_allclose(rec_t, 10.0 + 0.1 * i,
+                                           atol=1e-9)
+            rec_t, _ = bag.read_record("/odom", 0)
+            np.testing.assert_allclose(rec_t, 10.25, atol=1e-9)
+            # Payloads untouched: the decoded IMU stream is identical.
+            t, a, g = bag.read_imu("/imu")
+            np.testing.assert_allclose(t, 10.0 + 0.1 * np.arange(5),
+                                       atol=1e-9)
+            np.testing.assert_allclose(a[:, 2], 9.81)
+
+    def test_headerless_records_keep_time(self, tmp_path):
+        """Types without a leading header keep their record time, as the
+        reference does (fix_rosbag_time.py:41-42)."""
+        import vil_sensor_fusion_tpu.data.rosbag_writer as W
+        from vil_sensor_fusion_tpu.data.bagtools import fix_bag_time
+        from vil_sensor_fusion_tpu.data.rosbag_io import BagReader
+
+        src = tmp_path / "noheader.bag"
+        with W.BagWriter(src) as w:
+            w.add_topic("/chatter", "std_msgs/String")
+            w.write("/chatter", 55.5, b"\x02\x00\x00\x00hi")
+        out = tmp_path / "fixed.bag"
+        report = fix_bag_time(src, out)
+        assert report["kept"] == 1 and report["rewritten"] == 0
+        with BagReader(out) as bag:
+            rec_t, payload = bag.read_record("/chatter", 0)
+            np.testing.assert_allclose(rec_t, 55.5, atol=1e-9)
+            assert payload == b"\x02\x00\x00\x00hi"

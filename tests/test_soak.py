@@ -20,9 +20,10 @@ from scripts.soak import run_soak
 @pytest.mark.slow
 def test_chunked_soak_with_checkpoint_resume(tmp_path):
     duration = 60.0 if os.environ.get("SOAK_FULL") else 20.0
+    # Small rig in-suite (CPU); the TPU runs use the 800x600 default.
     summary, metrics = run_soak(
-        duration=duration, chunk=10.0, checkpoint_test=True,
-        checkpoint_dir=str(tmp_path), verbose=False)
+        duration=duration, chunk=10.0, cam_w=160, cam_h=120, landmarks=16,
+        checkpoint_test=True, checkpoint_dir=str(tmp_path), verbose=False)
     # Bounded drift: a few percent of distance, not divergence.
     assert summary["err_max_m"] < 0.05 * summary["distance_m"], summary
     # Every stage healthy; the gate keeps the well-conditioned drive.

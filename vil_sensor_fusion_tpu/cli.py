@@ -231,6 +231,15 @@ def cmd_convert(args):
         print(json.dumps({"topics": meta, "out": args.out}, indent=2))
 
 
+def cmd_fix_time(args):
+    """fix_rosbag_time equivalent (carla_tools/scripts/fix_rosbag_time.py:
+    28-47): record time := header stamp, payloads verbatim."""
+    from .data.bagtools import fix_bag_time
+
+    report = fix_bag_time(args.bag, args.out, compression=args.compression)
+    print(json.dumps(report, indent=2))
+
+
 def cmd_fuse_bag(args):
     import jax
     import jax.numpy as jnp
@@ -326,6 +335,16 @@ def main(argv=None):
     pc.add_argument("--bag", required=True)
     pc.add_argument("--out", required=True)
     pc.set_defaults(fn=cmd_convert)
+
+    px = sub.add_parser(
+        "fix-time",
+        help="rewrite record times := header stamps (the reference's "
+             "fix_rosbag_time.py for externally recorded bags)")
+    px.add_argument("--bag", required=True)
+    px.add_argument("--out", required=True)
+    px.add_argument("--compression", default="none",
+                    choices=["none", "bz2"])
+    px.set_defaults(fn=cmd_fix_time)
 
     pf = sub.add_parser("fuse-bag", help="fusion back-end over a bag")
     pf.add_argument("--bag", required=True)

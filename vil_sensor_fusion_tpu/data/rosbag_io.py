@@ -71,6 +71,12 @@ def _load():
         ct.c_void_p, ct.c_char_p, ct.c_long, u8, ct.c_long]
     lib.bag_topic_stamps.restype = ct.c_long
     lib.bag_topic_stamps.argtypes = [ct.c_void_p, ct.c_char_p, d, ct.c_long]
+    lib.bag_record_size.restype = ct.c_long
+    lib.bag_record_size.argtypes = [ct.c_void_p, ct.c_char_p, ct.c_long]
+    lib.bag_read_record.restype = ct.c_long
+    lib.bag_read_record.argtypes = [
+        ct.c_void_p, ct.c_char_p, ct.c_long, ct.POINTER(ct.c_double),
+        u8, ct.c_long]
     _lib = lib
     return lib
 
@@ -151,6 +157,20 @@ class BagReader:
         if n < 0:
             raise IOError(f"cannot decode PointCloud2 #{index} on {topic}")
         return t.value, xyz[:n]
+
+    def read_record(self, topic: str, index: int) -> tuple[float, bytes]:
+        """→ (record_time_s, raw serialized message bytes) — the verbatim
+        payload, for passthrough rewriting (fix-time)."""
+        size = self._lib.bag_record_size(self._h, topic.encode(), index)
+        if size < 0:
+            raise IOError(f"no record #{index} on {topic}")
+        t = ct.c_double()
+        buf = np.zeros(max(size, 1), np.uint8)
+        n = self._lib.bag_read_record(self._h, topic.encode(), index,
+                                      ct.byref(t), buf, size)
+        if n < 0:
+            raise IOError(f"record read failed: {topic}#{index}")
+        return t.value, buf[:n].tobytes()
 
     def read_image(self, topic: str, index: int):
         """→ (stamp, array (H, W[, C]) uint8, encoding)."""
