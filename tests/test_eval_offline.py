@@ -152,3 +152,27 @@ class TestFrameAnchor:
                                    np.asarray(gt), atol=1e-9)
         ate = float(ev.ate_rmse(anchored, gt))
         assert ate < 1e-9
+
+
+class TestTrajectoryView:
+    def test_writes_selfcontained_html(self, tmp_path):
+        """The RViz-equivalent artifact: one dependency-free HTML with all
+        tracks, errors vs gt, and gate-drop markers embedded."""
+        import numpy as np
+        from vil_sensor_fusion_tpu.eval.trajectory_view import write_view
+
+        t = np.linspace(0, 10, 50)
+        gt = np.zeros((50, 7)); gt[:, 0] = 1.0
+        gt[:, 4] = t; gt[:, 5] = np.sin(t)
+        fused = gt.copy(); fused[:, 4] += 0.1
+        keep = np.ones(50); keep[[7, 20]] = 0.0
+        path = write_view(str(tmp_path / "v.html"),
+                          {"gt": (t, gt), "fused": (t, fused),
+                           "lidar": (t, gt)},
+                          gate_keep=keep)
+        html = open(path).read()
+        assert "fused" in html and "lidar" in html
+        assert '"drops": [7, 20]' in html
+        assert "<canvas" in html and "DATA" in html
+        # err embedded for non-gt tracks
+        assert '"err"' in html

@@ -327,3 +327,68 @@ class TestCheckpointResume:
         np.testing.assert_allclose(np.asarray(out_a.poses),
                                    np.asarray(out_full.poses)[:half],
                                    atol=1e-12)
+
+
+class TestAbsoluteAnchor:
+    def test_anchor_bounds_random_walk_drift(self):
+        """With per-event noise on the odometry stream, the between-factor
+        chain integrates the noise as a random walk; an absolute
+        map-anchored unary factor on the same stream bounds the error near
+        the per-event noise floor (graph/smoother.py add_unary)."""
+        rng = np.random.default_rng(7)
+        traj = syn.circle(radius=12.0, period=24.0)
+        imu, vio, lid = _streams(traj)
+        # Drifting VIO: a slowly accumulating position bias (the EKF's
+        # long-horizon failure mode), plus noisy lidar absolute poses.
+        n_v = len(vio.times)
+        drift = np.cumsum(np.full((n_v, 1), 0.02) *
+                          np.array([[1.0, 0.5, 0.0]]), axis=0)
+        vio_p = np.asarray(vio.poses).copy()
+        vio_p[:, 4:7] += drift
+        lid_p = np.asarray(lid.poses).copy()
+        lid_p[:, 4:7] += rng.normal(0, 0.02, lid_p[:, 4:7].shape)
+
+        def build(anchor):
+            sm = G.SmootherConfig(window=6, between_slots=12, gn_iters=5)
+            return fu.FusionConfig(
+                smoother=sm,
+                sensors=(
+                    fu.SensorSpec(name="vio", optimize_after_odom=True,
+                                  covariance_linear=0.05,
+                                  covariance_angular=0.05,
+                                  max_time_skip=0.2),
+                    fu.SensorSpec(name="lidar", optimize_after_odom=False,
+                                  covariance_linear=0.01,
+                                  covariance_angular=0.01,
+                                  max_time_skip=0.2,
+                                  absolute_anchor=anchor,
+                                  anchor_cov_scale=25.0),
+                ),
+                max_imu_per_gap=32,
+            )
+
+        errs = {}
+        for anchor in (False, True):
+            cfg = build(anchor)
+            tl = fu.merge_timeline([
+                (np.asarray(vio.times), vio_p, np.asarray(vio.cov),
+                 np.ones(n_v)),
+                (np.asarray(lid.times), lid_p, np.asarray(lid.cov),
+                 np.ones(len(lid.times))),
+            ])
+            gt = syn.sample_ground_truth(traj, tl.times)
+            t0 = jnp.zeros((), DTYPE)
+            es = fu.init(cfg, traj.pose_fn(t0), traj.vel_fn(t0),
+                         jnp.zeros(6, DTYPE), t0)
+            run = jax.jit(lambda es, tl: fu.run(cfg, es, tl, imu.times,
+                                                imu.accel, imu.gyro))
+            _, out = run(es, tl)
+            err = np.linalg.norm(np.asarray(out.poses)[:, 4:7]
+                                 - np.asarray(gt.poses)[:, 4:7], axis=-1)
+            errs[anchor] = err
+        # Unanchored: tracks the drifting VIO chain; anchored: bounded by
+        # the absolute lidar poses. Final-quarter error must shrink a lot.
+        tail_un = errs[False][-len(errs[False]) // 4:].mean()
+        tail_an = errs[True][-len(errs[True]) // 4:].mean()
+        assert tail_an < 0.5 * tail_un, (tail_un, tail_an)
+        assert tail_an < 0.25, tail_an

@@ -137,3 +137,88 @@ class TestFullFilter:
         eig = np.linalg.eigvalsh(covs)
         assert (eig > -1e-9).all()
         assert eig.max() < 1.0
+
+
+class TestGravityUpdate:
+    def test_static_roll_error_corrected_yaw_untouched(self):
+        """A roll-perturbed attitude under a static accelerometer reading
+        must be pulled back toward level by gravity_update; yaw (rotation
+        about gravity) is unobservable and must not move."""
+        from vil_sensor_fusion_tpu.frontends.vio import ekf as E
+
+        cfg = V.VioConfig(num_landmarks=4, gravity=9.81)
+        # True attitude: level with yaw 0.7; filter believes roll 0.1 extra.
+        q_true = lie.so3_exp_quat(jnp.array([0.0, 0.0, 0.7], DTYPE))
+        q_est = lie.quat_mul(q_true,
+                             lie.so3_exp_quat(jnp.array([0.1, 0.0, 0.0],
+                                                        DTYPE)))
+        s = V.init(cfg, lie.pose_make(q_est, jnp.zeros(3, DTYPE)),
+                   jnp.zeros(3, DTYPE), jnp.zeros(6, DTYPE),
+                   sigmas=(0.2, 1e-3, 1e-2, 1e-2, 1e-3))
+        # Static: accelerometer reads g along the TRUE body z.
+        R_true = lie.quat_to_rot(q_true)
+        accel = 9.81 * (R_true.T @ jnp.array([0.0, 0.0, 1.0], DTYPE))
+        err0 = lie.quat_log(lie.quat_mul(lie.quat_conjugate(q_true),
+                                         lie.pose_quat(s.pose)))
+        for _ in range(20):
+            s = E.gravity_update(cfg, s, accel)
+        err1 = lie.quat_log(lie.quat_mul(lie.quat_conjugate(q_true),
+                                         lie.pose_quat(s.pose)))
+        # Roll/pitch error shrinks by >5x; yaw error stays ~0.
+        assert float(jnp.linalg.norm(err1[:2])) < 0.2 * float(
+            jnp.linalg.norm(err0[:2]))
+        assert abs(float(err1[2])) < 1e-3
+
+    def test_dynamic_window_gated_out(self):
+        """During strong acceleration the reading says nothing about
+        gravity: the gate must make the update a no-op."""
+        from vil_sensor_fusion_tpu.frontends.vio import ekf as E
+
+        cfg = V.VioConfig(num_landmarks=4)
+        q0 = lie.so3_exp_quat(jnp.array([0.05, 0.0, 0.0], DTYPE))
+        s = V.init(cfg, lie.pose_make(q0, jnp.zeros(3, DTYPE)),
+                   jnp.zeros(3, DTYPE), jnp.zeros(6, DTYPE))
+        accel = jnp.array([3.0, 0.0, 12.0], DTYPE)   # ‖f‖ far from g
+        s2 = E.gravity_update(cfg, s, accel)
+        np.testing.assert_allclose(np.asarray(s2.pose),
+                                   np.asarray(s.pose), atol=1e-9)
+
+
+class TestZeroVelocityUpdate:
+    def test_static_platform_velocity_pulled_to_zero(self):
+        from vil_sensor_fusion_tpu.frontends.vio import ekf as E
+
+        cfg = V.VioConfig(num_landmarks=4)
+        s = V.init(cfg, lie.pose_make(jnp.array([1.0, 0, 0, 0], DTYPE),
+                                      jnp.zeros(3, DTYPE)),
+                   jnp.array([0.3, -0.2, 0.1], DTYPE), jnp.zeros(6, DTYPE),
+                   sigmas=(1e-3, 1e-3, 0.5, 1e-2, 1e-3))
+        s2 = E.zero_velocity_update(cfg, s, jnp.asarray(1.0, DTYPE))
+        assert float(jnp.linalg.norm(s2.vel)) < 0.1 * float(
+            jnp.linalg.norm(s.vel))
+
+    def test_moving_window_is_noop(self):
+        from vil_sensor_fusion_tpu.frontends.vio import ekf as E
+
+        cfg = V.VioConfig(num_landmarks=4)
+        s = V.init(cfg, lie.pose_make(jnp.array([1.0, 0, 0, 0], DTYPE),
+                                      jnp.zeros(3, DTYPE)),
+                   jnp.array([0.3, -0.2, 0.1], DTYPE), jnp.zeros(6, DTYPE))
+        s2 = E.zero_velocity_update(cfg, s, jnp.asarray(0.0, DTYPE))
+        np.testing.assert_allclose(np.asarray(s2.vel), np.asarray(s.vel),
+                                   atol=1e-9)
+
+    def test_motion_detector(self):
+        from vil_sensor_fusion_tpu.frontends.vio import ekf as E
+
+        cfg = V.VioConfig(num_landmarks=4)
+        n = 16
+        dts = jnp.full((n,), 0.005, DTYPE)
+        accel_static = jnp.broadcast_to(
+            jnp.array([0.0, 0.0, 9.81], DTYPE), (n, 3))
+        gyro_static = jnp.zeros((n, 3), DTYPE)
+        assert float(E.detect_no_motion(cfg, accel_static, gyro_static,
+                                        dts)) == 1.0
+        gyro_moving = jnp.full((n, 3), 0.2, DTYPE)
+        assert float(E.detect_no_motion(cfg, accel_static, gyro_moving,
+                                        dts)) == 0.0

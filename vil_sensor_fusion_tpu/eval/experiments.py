@@ -122,6 +122,14 @@ def _run(spec: ExperimentSpec) -> dict:
                    for n, s in series.items()})
     scores["gate_trans_logdet"] = np.asarray(res.gate.trans_d_opt)
     scores["gate_rot_logdet"] = np.asarray(res.gate.rot_d_opt)
+    # RAW (unnormalized) log-dets alongside the normalized gate scores —
+    # the raw-threshold parity study needs both: the reference's shipped
+    # thresholds (11.5/28.9, fusion_params.yaml:35-36) are raw log-dets of
+    # ITS Hessian scale, and raw = normalized + 3*log(n_corr).
+    raw = DG.logdet_gate(res.lidar_out.hessian,
+                         DG.GateConfig(normalize_per_corr=False))
+    scores["gate_trans_logdet_raw"] = np.asarray(raw.trans_d_opt)
+    scores["gate_rot_logdet_raw"] = np.asarray(raw.rot_d_opt)
     if spec.emit_dists:
         d = res.lidar_out.dists
         slopes = M.dist_slopes_6dof(
@@ -130,6 +138,7 @@ def _run(spec: ExperimentSpec) -> dict:
 
     out = {
         "spec": dataclasses.asdict(spec),
+        "n_corr": np.asarray(res.lidar_out.n_corr),
         "events": int(res.timeline.times.shape[0]),
         "ate_fused": float(DIAG.ate_rmse(res.fused.poses,
                                          jnp.asarray(gt_fused, dtype))),
@@ -147,6 +156,11 @@ def _run(spec: ExperimentSpec) -> dict:
         "err_fused": np.asarray(diag_fused.abs_dist_err),
         "err_vio": np.asarray(diag_vio.abs_dist_err),
         "err_lidar": np.asarray(diag_lidar.abs_dist_err),
+        "fused_poses": np.asarray(res.fused.poses),
+        "vio_poses": np.asarray(res.vio_out.pose),
+        "lidar_poses": np.asarray(res.lidar_out.pose),
+        "gt_fused_poses": gt_fused,
+        "gate_keep": np.asarray(res.gate.keep),
         "scores": scores,
         "hessian": np.asarray(res.lidar_out.hessian),
     }
@@ -228,6 +242,18 @@ def report(result: Mapping, out_dir: str) -> dict:
             P.plot_rocs(curves, title="detector ROC",
                         path=os.path.join(out_dir, "roc.png"))
 
+    # Interactive trajectory view (the RViz-session equivalent artifact).
+    if "fused_poses" in result:
+        from .trajectory_view import write_view
+        write_view(
+            os.path.join(out_dir, "trajectory.html"),
+            {"gt": (result["fused_times"], result["gt_fused_poses"]),
+             "fused": (result["fused_times"], result["fused_poses"]),
+             "vio": (result["vio_times"], result["vio_poses"]),
+             "lidar": (result["lidar_times"], result["lidar_poses"])},
+            gate_keep=result.get("gate_keep"),
+            title=f"{spec['kind']} seed {spec['seed']}")
+
     summary = {
         "spec": spec,
         "ate_fused": float(result["ate_fused"]),
@@ -279,12 +305,64 @@ def calibrate_thresholds(results: Sequence[Mapping]) -> dict:
     out = {}
     for key, lab, name in (("trans_threshold", lab_trans,
                             "gate_trans_logdet"),
-                           ("rot_threshold", lab_rot, "gate_rot_logdet")):
+                           ("rot_threshold", lab_rot, "gate_rot_logdet"),
+                           ("raw_trans_threshold", lab_trans,
+                            "gate_trans_logdet_raw"),
+                           ("raw_rot_threshold", lab_rot,
+                            "gate_rot_logdet_raw")):
         s = pooled.get(name)
         if s is None or not lab.any() or lab.all():
             continue
-        out[key] = float(calibrate_threshold(jnp.asarray(s),
-                                             jnp.asarray(lab)))
+        ok = np.isfinite(s)
+        if not ok.any():
+            continue
+        out[key] = float(calibrate_threshold(jnp.asarray(s[ok]),
+                                             jnp.asarray(lab[ok])))
+    return out
+
+
+# The reference ships these hand-tuned raw thresholds for ITS Hessian
+# scale (gtsam_fusion/config/carla/fusion_params.yaml:35-36).
+REFERENCE_RAW_THRESHOLDS = {"rot": 11.5, "trans": 28.9}
+
+
+def raw_threshold_parity(results: Sequence[Mapping],
+                         thresholds: Mapping) -> dict:
+    """The raw-threshold parity study (VERDICT r3 next #7): report the
+    POOLED calibrated raw log-det thresholds next to the reference's
+    shipped 11.5/28.9 and document the scale mapping between the two
+    Hessians.
+
+    The mapping: log det(H_raw_block) = log det(H_norm_block)
+    + 3·log(n_corr), so raw thresholds shift with correspondence count —
+    they do NOT transfer between implementations (or even scenes) unless
+    the Hessian scale matches. The reference's LOAM caps correspondences
+    differently (its submap/feature budgets) than this implementation's
+    fixed pools, so the calibrated raw numbers differ from 11.5/28.9 by
+    ≈ 3·log(n_ours/n_ref) plus per-point information-scale differences;
+    the NORMALIZED thresholds are the transferable quantity."""
+    n_corr = np.concatenate([np.asarray(r["n_corr"]) for r in results
+                             if "n_corr" in r]) if results else np.zeros(0)
+    n_corr = n_corr[n_corr > 0]
+    med_n = float(np.median(n_corr)) if n_corr.size else float("nan")
+    out = {
+        "reference_raw": dict(REFERENCE_RAW_THRESHOLDS),
+        "calibrated_raw": {
+            "rot": thresholds.get("raw_rot_threshold"),
+            "trans": thresholds.get("raw_trans_threshold"),
+        },
+        "calibrated_normalized": {
+            "rot": thresholds.get("rot_threshold"),
+            "trans": thresholds.get("trans_threshold"),
+        },
+        "median_n_corr": med_n,
+        "raw_minus_normalized_offset_3logn": 3.0 * float(np.log(med_n))
+        if np.isfinite(med_n) and med_n > 0 else None,
+        "note": "raw = normalized + 3*log(n_corr); raw thresholds are "
+                "implementation-scale-specific (the reference's 11.5/28.9 "
+                "presume LOAM's correspondence budget), normalized ones "
+                "transfer",
+    }
     return out
 
 
@@ -326,6 +404,8 @@ def aggregate_report(results: Sequence[Mapping], out_dir: str) -> dict:
     thresholds = calibrate_thresholds(results)
     summary = {"auc": aucs, "ate": ate_rows,
                "calibrated_thresholds": thresholds,
+               "raw_threshold_parity": raw_threshold_parity(results,
+                                                            thresholds),
                "n_runs": len(results)}
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)

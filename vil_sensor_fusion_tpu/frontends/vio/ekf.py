@@ -51,6 +51,26 @@ class VioConfig(NamedTuple):
     use_depth_update: bool = True
     depth_sigma_update: float = 0.5  # per-measurement σ (m)
     depth_chi2_gate: float = 6.63    # 1-dof 99% gate
+    # Gravity/attitude anchoring: under low dynamics the window-mean
+    # accelerometer reading measures b_a + g·Rᵀe_z, observing roll/pitch
+    # (yaw stays unobservable — H's attitude block has a null space along
+    # gravity). This bounds the attitude random walk that otherwise grows
+    # without bound on long drives and leaks into position through
+    # gravity-compensation errors (ROVIO's filter gains the same anchoring
+    # from modeling gravity in its propagation/update loop).
+    use_gravity_update: bool = True
+    gravity_sigma: float = 0.3       # m/s² measurement σ (deliberately wide)
+    gravity_accel_gate: float = 0.4  # |‖f‖ − g| beyond this ⇒ skip (dynamic)
+    # Zero-velocity update (ROVIO's ZeroVelocityUpdate block,
+    # rovio.cfg:... isEnabled/UpdateNoise.vel 0.01/MahalanobisTh0): when
+    # the IMU window shows no motion (gyro magnitude and accel deviation
+    # from gravity both below threshold), measure velocity = 0 — kills
+    # the velocity/position random walk on a stationary platform (the
+    # reference's evaluation set includes a stationary bag).
+    use_zero_velocity_update: bool = True
+    zuv_sigma: float = 0.1           # m/s measurement σ (vel cov 0.01)
+    zuv_gyro_th: float = 0.02        # rad/s max mean |ω| for "no motion"
+    zuv_accel_th: float = 0.15       # m/s² max std of ‖accel‖ for "no motion"
     cam: C.Camera = C.carla_camera()
     # camera-from-imu extrinsics (identity: camera at the IMU, z forward)
     pose_ic: tuple = (1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
@@ -305,6 +325,90 @@ def update(
     I_KH = jnp.eye(D, dtype=dtype) - K @ H
     cov = I_KH @ s0.cov @ I_KH.T + K @ jnp.diag(R_eff) @ K.T
     return s_new._replace(cov=0.5 * (cov + cov.T))
+
+
+@estimation_precision
+def gravity_update(
+    cfg: VioConfig,
+    s: VioState,
+    accel_mean: jnp.ndarray,    # (3,) window-mean raw accelerometer reading
+) -> VioState:
+    """Accelerometer-referenced roll/pitch pseudo-measurement (see
+    VioConfig.use_gravity_update). Measurement model under low dynamics:
+    z = accel_mean, h(x) = b_a + g·Rᵀe_z; the update is applied only when
+    ‖accel_mean − b_a‖ is within ``gravity_accel_gate`` of g (otherwise
+    the vehicle is accelerating and the reading says nothing about
+    gravity — the masked row gets effectively infinite variance, exactly
+    like gated features in :func:`update`)."""
+    dtype = s.pose.dtype
+    D = s.cov.shape[0]
+    e_z = jnp.array([0.0, 0.0, 1.0], dtype)
+    R = lie.quat_to_rot(lie.pose_quat(s.pose))
+    u = R.T @ e_z                              # gravity direction in body
+    ba = s.bias[:3]
+    pred = ba + cfg.gravity * u
+    r = accel_mean - pred
+
+    # Low-dynamics gate.
+    f_norm = jnp.linalg.norm(accel_mean - ba)
+    ok = (jnp.abs(f_norm - cfg.gravity)
+          < cfg.gravity_accel_gate).astype(dtype)
+    big = jnp.asarray(1e12, dtype)
+    R_eff = jnp.where(ok > 0, cfg.gravity_sigma ** 2, big) \
+        * jnp.ones((3,), dtype)
+
+    # h(x ⊞ dx): right-perturbation R ← R·Exp(δθ) gives
+    # h ≈ pred + g·[u]× δθ + δb_a.
+    H = jnp.zeros((3, D), dtype)
+    H = H.at[:, 0:3].set(cfg.gravity * lie.hat(u))
+    H = H.at[:, 9:12].set(jnp.eye(3, dtype=dtype))
+
+    HP = H @ s.cov
+    S = HP @ H.T + jnp.diag(R_eff)
+    K = jnp.linalg.solve(S, HP).T
+    s_new = _retract(cfg, s, K @ r)
+    I_KH = jnp.eye(D, dtype=dtype) - K @ H
+    cov = I_KH @ s.cov @ I_KH.T + K @ jnp.diag(R_eff) @ K.T
+    return s_new._replace(cov=0.5 * (cov + cov.T))
+
+
+@estimation_precision
+def zero_velocity_update(
+    cfg: VioConfig,
+    s: VioState,
+    is_static: jnp.ndarray,       # scalar 0/1 motion-detection verdict
+) -> VioState:
+    """ROVIO's ZeroVelocityUpdate: measure v = 0 when the motion detector
+    says the platform is static. Gated rows get effectively infinite
+    variance (same masking pattern as the other updates)."""
+    dtype = s.pose.dtype
+    D = s.cov.shape[0]
+    big = jnp.asarray(1e12, dtype)
+    R_eff = jnp.where(is_static > 0, cfg.zuv_sigma ** 2, big) \
+        * jnp.ones((3,), dtype)
+    H = jnp.zeros((3, D), dtype).at[:, 6:9].set(jnp.eye(3, dtype=dtype))
+    r = -s.vel
+    HP = H @ s.cov
+    S = HP @ H.T + jnp.diag(R_eff)
+    K = jnp.linalg.solve(S, HP).T
+    s_new = _retract(cfg, s, K @ r)
+    I_KH = jnp.eye(D, dtype=dtype) - K @ H
+    cov = I_KH @ s.cov @ I_KH.T + K @ jnp.diag(R_eff) @ K.T
+    return s_new._replace(cov=0.5 * (cov + cov.T))
+
+
+def detect_no_motion(cfg: VioConfig, accel, gyro, dts) -> jnp.ndarray:
+    """Window-level motion detection (ROVIO MotionDetection block): static
+    iff mean |ω| and the std of ‖accel‖ are both under threshold."""
+    live = (dts > 0).astype(accel.dtype)
+    n = jnp.maximum(jnp.sum(live), 1.0)
+    gyro_mag = jnp.linalg.norm(gyro, axis=-1)
+    mean_w = jnp.sum(gyro_mag * live) / n
+    a_mag = jnp.linalg.norm(accel, axis=-1)
+    mean_a = jnp.sum(a_mag * live) / n
+    var_a = jnp.sum((a_mag - mean_a) ** 2 * live) / n
+    return ((mean_w < cfg.zuv_gyro_th)
+            & (jnp.sqrt(var_a) < cfg.zuv_accel_th)).astype(accel.dtype)
 
 
 def _boxminus(cfg: VioConfig, s_a: VioState, s_b: VioState) -> jnp.ndarray:

@@ -57,6 +57,14 @@ class SensorSpec(NamedTuple):
     covariance_angular: float = 0.1
     optimize_after_odom: bool = True
     max_time_skip: float = 0.1
+    # Absolute map-anchored unary factor (PriorFactor<Pose3>) per arrived
+    # message: for a scan-to-map source the odometry pose is expressed in
+    # the voxel map's world frame — anchoring the fused trajectory to it
+    # bounds the between-chain's own gauge drift over long horizons. The
+    # anchor uses the source's reported covariance scaled by
+    # ``anchor_cov_scale`` (>1 = weaker than the relative factor).
+    absolute_anchor: bool = False
+    anchor_cov_scale: float = 25.0
 
 
 class FusionConfig(NamedTuple):
@@ -165,6 +173,8 @@ def _spec_arrays(cfg: FusionConfig, dtype):
         cov_ang=jnp.asarray([s.covariance_angular for s in sp], dtype),
         solve_after=jnp.asarray([float(s.optimize_after_odom) for s in sp], dtype),
         max_skip=jnp.asarray([s.max_time_skip for s in sp], dtype),
+        anchor=jnp.asarray([float(s.absolute_anchor) for s in sp], dtype),
+        anchor_scale=jnp.asarray([s.anchor_cov_scale for s in sp], dtype),
     )
 
 
@@ -216,6 +226,12 @@ def step(
     s = S.add_between(
         cfg.smoother, s, i_window, jnp.asarray(W - 1, jnp.int32),
         delta, cov, factor_valid)
+
+    # --- absolute map anchor (optional per source) -------------------------
+    anchor_valid = arrived * spec["anchor"][sid]
+    anchor_cov = ev.odo_cov * spec["anchor_scale"][sid]
+    s = S.add_unary(cfg.smoother, s, jnp.asarray(W - 1, jnp.int32),
+                    ev.odo_pose, anchor_cov, anchor_valid)
 
     # --- optimize_after_odom ------------------------------------------------
     do_solve = (spec["solve_after"][sid] * arrived) > 0.5

@@ -171,6 +171,24 @@ def linearize_between_factor(pose_i, pose_j, measured):
     return r, A_i, A_j
 
 
+def pose_prior_residual(pose, measured) -> jnp.ndarray:
+    """6-dim unary pose residual Log(measured⁻¹ · T), ordered (rho, theta)
+    — PriorFactor<Pose3>: the absolute map-anchored measurement (a
+    scan-to-map registration's world-frame pose carries the voxel map's
+    absolute information, which the between-factor chain discards)."""
+    return lie.pose_local(measured, pose)
+
+
+def linearize_pose_prior(pose, measured):
+    """Returns (r[6], A[6,15]) for a unary pose prior on one keyframe."""
+
+    def r_of(d):
+        return pose_prior_residual(lie.pose_retract(pose, d[0:6]), measured)
+
+    z = jnp.zeros((STATE_DIM,), dtype=pose.dtype)
+    return r_of(z), jax.jacfwd(r_of)(z)
+
+
 def linearize_prior_factor(pose, vel, bias, prior_pose, prior_vel, prior_bias):
     """Returns (r[15], A[15,15])."""
 

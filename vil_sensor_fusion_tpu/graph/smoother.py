@@ -47,6 +47,7 @@ class SmootherConfig(NamedTuple):
 
     window: int = 8                  # W keyframes kept live
     between_slots: int = 16          # pool size for active between-factors
+    unary_slots: int = 8             # pool size for absolute pose anchors
     gn_iters: int = 8                # Gauss-Newton iterations per solve
     damping: float = 1e-9            # Levenberg damping added to H's diagonal
     # Per-factor information ceiling: any factor whose information matrix has
@@ -87,6 +88,14 @@ class SmootherState(NamedTuple):
     btw_info: jnp.ndarray             # (B, 6, 6) information (Σ⁻¹)
     btw_valid: jnp.ndarray            # (B,)
     btw_next: jnp.ndarray             # scalar int32 ring pointer
+    # Unary absolute-pose anchor pool (PriorFactor<Pose3> ring buffer):
+    # the map-anchored measurements (scan-to-map world poses) that bound
+    # the fused trajectory to the voxel map's frame.
+    una_slot: jnp.ndarray             # (U,) int32 window-relative key
+    una_meas: jnp.ndarray             # (U, 7) measured absolute pose
+    una_info: jnp.ndarray             # (U, 6, 6) information
+    una_valid: jnp.ndarray            # (U,)
+    una_next: jnp.ndarray             # scalar int32 ring pointer
 
 
 # ---------------------------------------------------------------------------
@@ -196,6 +205,12 @@ def init(
         btw_info=jnp.zeros((B, 6, 6), dtype=dtype),
         btw_valid=jnp.zeros((B,), dtype=dtype),
         btw_next=jnp.zeros((), jnp.int32),
+        una_slot=jnp.zeros((cfg.unary_slots,), jnp.int32),
+        una_meas=jnp.broadcast_to(lie.pose_identity(dtype),
+                                  (cfg.unary_slots, 7)),
+        una_info=jnp.zeros((cfg.unary_slots, 6, 6), dtype=dtype),
+        una_valid=jnp.zeros((cfg.unary_slots,), dtype=dtype),
+        una_next=jnp.zeros((), jnp.int32),
     )
 
 
@@ -243,6 +258,19 @@ def _linearize_between_slots(s: SmootherState, x: F.KeyframeStates):
     return r, A_i, A_j, info
 
 
+def _linearize_unary_slots(s: SmootherState, x: F.KeyframeStates):
+    """vmapped linearization of the absolute-pose anchor pool."""
+    W = x.poses.shape[0]
+    kc = jnp.clip(s.una_slot, 0, W - 1)
+
+    def one(k, meas):
+        return F.linearize_pose_prior(x.poses[k], meas)
+
+    r, A = jax.vmap(one)(kc, s.una_meas)
+    info = s.una_info * s.una_valid[:, None, None]
+    return r, A, info
+
+
 def _assemble(
     cfg: SmootherConfig,
     s: SmootherState,
@@ -250,6 +278,7 @@ def _assemble(
     include_prior: bool = True,
     imu_mask: jnp.ndarray | None = None,
     btw_mask: jnp.ndarray | None = None,
+    una_mask: jnp.ndarray | None = None,
 ):
     """Build dense normal equations (H, b) of all active factors at x.
 
@@ -307,6 +336,18 @@ def _assemble(
     Lr = jnp.einsum("brq,bq->br", binfo, rb)
     H = H + jnp.einsum("brd,brq,bqe->de", Afull, binfo, Afull)
     b = b + jnp.einsum("brd,br->d", Afull, Lr)
+
+    # --- Unary absolute anchors: same one-hot expansion, single endpoint --
+    ru, U_A, uinfo = _linearize_unary_slots(s, x)
+    if una_mask is not None:
+        uinfo = uinfo * una_mask[:, None, None]
+    kw = jnp.clip(s.una_slot, 0, W - 1)
+    Mk = (d_idx[None, :, None]
+          == (kw * STATE_DIM)[:, None, None] + k15[None, None, :]
+          ).astype(dtype)                                # (U, D, 15)
+    Ufull = jnp.einsum("urk,udk->urd", U_A, Mk)          # (U, 6, D)
+    H = H + jnp.einsum("urd,urq,uqe->de", Ufull, uinfo, Ufull)
+    b = b + jnp.einsum("urd,urq,uq->d", Ufull, uinfo, ru)
     return H, b
 
 
@@ -346,6 +387,8 @@ def cost(cfg: SmootherConfig, s: SmootherState) -> jnp.ndarray:
     c = c + 0.5 * jnp.einsum("sr,srq,sq->", r, info, r)
     rb, _, _, binfo = _linearize_between_slots(s, x)
     c = c + 0.5 * jnp.einsum("sr,srq,sq->", rb, binfo, rb)
+    ru, _, uinfo = _linearize_unary_slots(s, x)
+    c = c + 0.5 * jnp.einsum("sr,srq,sq->", ru, uinfo, ru)
     return c
 
 
@@ -392,10 +435,13 @@ def add_keyframe(
     imu_mask = jnp.zeros((W - 1,), dtype).at[0].set(1.0)
     # Between factors with i == 0:
     btw_mask = (s.btw_i == 0).astype(dtype) * s.btw_valid
+    # Unary anchors on slot 0:
+    una_mask = (s.una_slot == 0).astype(dtype) * s.una_valid
     H_t, b_t = _assemble(
         cfg, s, x, include_prior=False,
         imu_mask=imu_mask * s.imu_valid,
         btw_mask=btw_mask,
+        una_mask=una_mask,
     )
     H_m = H_m + H_t
     b_m = b_m + b_t
@@ -449,6 +495,8 @@ def add_keyframe(
     btw_i_new = s.btw_i - 1
     btw_j_new = s.btw_j - 1
     btw_valid_new = s.btw_valid * (btw_i_new >= 0).astype(dtype)
+    una_slot_new = s.una_slot - 1
+    una_valid_new = s.una_valid * (una_slot_new >= 0).astype(dtype)
 
     return SmootherState(
         states=states_new,
@@ -465,6 +513,11 @@ def add_keyframe(
         btw_info=s.btw_info,
         btw_valid=btw_valid_new,
         btw_next=s.btw_next,
+        una_slot=jnp.maximum(una_slot_new, 0),
+        una_meas=s.una_meas,
+        una_info=s.una_info,
+        una_valid=una_valid_new,
+        una_next=s.una_next,
     )
 
 
@@ -496,6 +549,36 @@ def add_between(
         btw_info=s.btw_info.at[k].set(info.astype(dtype)),
         btw_valid=s.btw_valid.at[k].set(v),
         btw_next=s.btw_next + 1,
+    )
+
+
+def add_unary(
+    cfg: SmootherConfig,
+    s: SmootherState,
+    k_window: jnp.ndarray,
+    measured: jnp.ndarray,
+    cov: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> SmootherState:
+    """Insert an absolute pose anchor (PriorFactor<Pose3>) on window slot
+    ``k_window`` into the ring pool. The reference's topology has no such
+    factor — its LiDAR odometry enters only as between-factors, discarding
+    the absolute information the scan-to-map registration carries about
+    the map frame; the anchor restores it (enable per sensor via
+    SensorSpec.absolute_anchor)."""
+    dtype = s.states.poses.dtype
+    k = s.una_next % cfg.unary_slots
+    W = s.states.poses.shape[0]
+    in_win = (k_window >= 0) & (k_window < W)
+    v = valid.astype(dtype) * in_win.astype(dtype)
+    info = _cap_info(F.info_from_cov(cov, jitter=1e-12), cfg.info_cap)
+    return s._replace(
+        una_slot=s.una_slot.at[k].set(
+            jnp.clip(k_window, 0, W - 1).astype(jnp.int32)),
+        una_meas=s.una_meas.at[k].set(measured.astype(dtype)),
+        una_info=s.una_info.at[k].set(info.astype(dtype)),
+        una_valid=s.una_valid.at[k].set(v),
+        una_next=s.una_next + 1,
     )
 
 
