@@ -1,5 +1,12 @@
 """Test configuration: run all tests on a virtual 8-device CPU mesh.
 
+Two-tier invocation (the suite is ~63 min on this 2-core host):
+  pytest -m "not slow" -q     # fast loop, <10 min: every subsystem's unit
+                              # + smoke coverage
+  pytest -q                   # full suite (nightly / pre-round): adds the
+                              # long e2e drives, sharding-equality, oracle,
+                              # soak and multi-process tests
+
 The reference has no multi-node testing at all (SURVEY.md §4); here every test
 run exercises an 8-device mesh on one host via
 ``--xla_force_host_platform_device_count`` so sharding paths are continuously

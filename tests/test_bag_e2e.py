@@ -26,6 +26,10 @@ from vil_sensor_fusion_tpu.frontends import vio as V
 from vil_sensor_fusion_tpu.frontends.vio import frontend as F
 from vil_sensor_fusion_tpu.fusion import vil
 
+# Long-running e2e coverage: excluded from the fast default loop
+# (pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
 REPO = Path(__file__).resolve().parents[1]
 DTYPE = jnp.float32
 

@@ -56,6 +56,7 @@ class TestConfig:
         names = [s.name for s in vil.fusion.sensors]
         assert names == ["lidar", "vio"]
 
+    @pytest.mark.slow
     def test_run_with_config_and_model_devices(self, tmp_path):
         """`cli run --config ... --model-devices 2`: the model-parallel ICP
         (sharded registration psum) reachable from the product CLI, on the

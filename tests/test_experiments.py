@@ -7,10 +7,12 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from vil_sensor_fusion_tpu.eval import experiments as EX
 
 
+@pytest.mark.slow
 def test_run_report_and_cache(tmp_path):
     cache = str(tmp_path / "cache")
     reports = str(tmp_path / "reports")

@@ -72,6 +72,7 @@ def _run(cfg, traj, vio_keep=None, lid_keep=None, vio_poses=None):
 
 
 class TestEndToEnd:
+    @pytest.mark.slow
     def test_two_source_fusion_tracks_circle(self):
         cfg = _config()
         tl, gt, out = _run(cfg, syn.circle(radius=15.0, period=12.0))
@@ -81,6 +82,7 @@ class TestEndToEnd:
         n_vio = int(np.sum(np.asarray(tl.source) == 0))
         assert int(np.sum(np.asarray(out.solved))) == n_vio
 
+    @pytest.mark.slow
     def test_gating_rescues_corrupted_source(self):
         """Corrupt the lidar odometry inside a 'degenerate window' and verify
         the gate (keep=0 there) restores accuracy — the thesis's experiment
@@ -147,6 +149,7 @@ class TestEndToEnd:
         assert ate_gated < 0.15
         assert ate_ungated > 10.0 * ate_gated
 
+    @pytest.mark.slow
     def test_max_time_skip_resets_chain(self):
         """Events separated by more than max_time_skip must not produce a
         between-factor (SensorManagerRos.cpp:47) — fusion still works off
@@ -265,6 +268,7 @@ class TestHealthGuard:
         ate = float(ev.ate_rmse(out.poses, gt.poses))
         assert ate < 0.1, ate
 
+    @pytest.mark.slow
     def test_guard_off_propagates_nan(self):
         """Sanity: with guard_health=False the same poison produces NaNs —
         proving the guard is what saves the run above."""
@@ -286,6 +290,7 @@ class TestHealthGuard:
 
 
 class TestCheckpointResume:
+    @pytest.mark.slow
     def test_killed_and_resumed_run_matches_uninterrupted(self, tmp_path):
         """Checkpoint/resume wired end-to-end: process half the timeline,
         save the engine state (utils.checkpoint), restore into a fresh
@@ -330,6 +335,7 @@ class TestCheckpointResume:
 
 
 class TestAbsoluteAnchor:
+    @pytest.mark.slow
     def test_anchor_bounds_random_walk_drift(self):
         """With per-event noise on the odometry stream, the between-factor
         chain integrates the noise as a random walk; an absolute

@@ -128,6 +128,7 @@ class TestIcp:
         )
         return p1, res
 
+    @pytest.mark.slow
     def test_recovers_small_motion_town(self):
         w = rc.town_world(n_boxes=24, seed=2)
         xi = [0.3, 0.1, 0.02, 0.0, 0.0, 0.03]
@@ -281,6 +282,7 @@ class TestVoxelMap:
 
 
 class TestOdometryPipeline:
+    @pytest.mark.slow
     def test_tracks_straight_drive_in_town(self):
         w = rc.town_world(n_boxes=32, seed=4)
         T = 10
@@ -316,6 +318,7 @@ class TestOdometryPipeline:
 
 
 class TestTwoStage:
+    @pytest.mark.slow
     def test_two_stage_tracks_without_external_prior(self):
         """The LOAM launch-graph structure: scan-to-scan laser_odometry
         feeding scan-to-map laser_mapping (loam.launch:31-57). With only a
@@ -357,6 +360,7 @@ class TestTwoStage:
 
 
 class TestUndistortion:
+    @pytest.mark.slow
     def test_undistortion_recovers_moving_sweep(self):
         """Motion-distorted sweeps (each azimuth column cast from the pose
         at its scan time, recorded uncompensated) break registration; with
@@ -393,6 +397,7 @@ class TestUndistortion:
 
 
 class TestPerturbationDists:
+    @pytest.mark.slow
     def test_dist_slopes_flat_along_corridor_axis(self):
         """The thesis fork's 6×15 perturbation-sweep distances
         (OdometryWithHessian dists, make_prettier_graphs.py:429-446): in a

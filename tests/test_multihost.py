@@ -7,6 +7,11 @@ localhost) never had."""
 import importlib.util
 import sys
 from pathlib import Path
+import pytest
+
+# Long-running e2e coverage: excluded from the fast default loop
+# (pytest -m 'not slow').
+pytestmark = pytest.mark.slow
 
 REPO = Path(__file__).resolve().parents[1]
 

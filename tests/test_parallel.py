@@ -11,6 +11,10 @@ import pytest
 
 from vil_sensor_fusion_tpu import parallel as par
 
+# Long-running e2e coverage: excluded from the fast default loop
+# (pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
 
 def test_mesh_shapes():
     mesh = par.make_mesh(n_data=4, n_model=2)

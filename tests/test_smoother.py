@@ -72,6 +72,7 @@ def _pose_errors(est, gt):
 
 
 class TestSmootherTracking:
+    @pytest.mark.slow
     def test_stationary(self):
         """Zero-motion: estimates stay pinned at the origin."""
         traj = syn.trajectory(
@@ -83,6 +84,7 @@ class TestSmootherTracking:
         assert dt.max() < 1e-4
         assert ang.max() < 1e-5
 
+    @pytest.mark.slow
     def test_circle_with_between(self):
         """Circle drive, noiseless IMU + exact between factors: the smoother
         must track GT to sub-mm through >3 window lengths of slides."""
@@ -91,6 +93,7 @@ class TestSmootherTracking:
         assert dt.max() < 1e-3, dt
         assert ang.max() < 1e-4, ang
 
+    @pytest.mark.slow
     def test_imu_only_prediction(self):
         """No between factors: pure preintegration chain still tracks a
         smooth trajectory over a short horizon (noiseless IMU)."""
@@ -99,6 +102,7 @@ class TestSmootherTracking:
         assert dt.max() < 5e-2, dt
         assert ang.max() < 5e-3, ang
 
+    @pytest.mark.slow
     def test_gated_between_is_ignored(self):
         """A between factor with valid=0 (degeneracy-gated) must not move the
         estimate: replicates the drop path of degerate_odometry_filter.cpp:39-46."""
@@ -129,6 +133,7 @@ class TestSmootherTracking:
         assert dt.max() < 0.05
         assert ang.max() < 0.01
 
+    @pytest.mark.slow
     def test_cost_decreases_with_solve(self):
         traj = syn.circle()
         dtype = jnp.float64
@@ -152,6 +157,7 @@ class TestSmootherTracking:
 
 
 class TestWindowBookkeeping:
+    @pytest.mark.slow
     def test_key0_advances(self):
         _, _, s = _run_tracking(syn.circle(), n_keys=9)
         assert int(s.key0) == 9

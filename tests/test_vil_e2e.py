@@ -24,6 +24,10 @@ from vil_sensor_fusion_tpu.frontends import lidar as L
 from vil_sensor_fusion_tpu.frontends import vio as V
 from vil_sensor_fusion_tpu.fusion import vil
 
+# Long-running e2e coverage: excluded from the fast default loop
+# (pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
 DTYPE = jnp.float32
 
 

@@ -109,6 +109,7 @@ class TestLandmarkInit:
 
 
 class TestFullFilter:
+    @pytest.mark.slow
     def test_tracks_circle_with_features(self):
         traj = syn.circle(radius=12.0, period=10.0)
         cfg = V.VioConfig(num_landmarks=24, pixel_sigma=1.0,

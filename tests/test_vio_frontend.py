@@ -69,6 +69,7 @@ class TestDepthAssociation:
 
 
 class TestSlotManagement:
+    @pytest.mark.slow
     def test_first_frame_fills_slots(self):
         """On a textured static scene with depth everywhere, frame 0 must
         initialize (enable) slots and frame 1 must track them."""
@@ -118,6 +119,7 @@ class TestImageDrivenVio:
                               pose_ic=tuple(np.asarray(pose_ic)))
         return cam, vio_cfg
 
+    @pytest.mark.slow
     def test_full_loop_ate(self, small_rig):
         """Render a 1.5 s town drive, build frames through the tracker, run
         the EKF, and bound the trajectory error — the reference's

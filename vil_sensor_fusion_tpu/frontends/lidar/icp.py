@@ -85,14 +85,24 @@ def knn(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Masked brute-force KNN: returns (idx (Q,k), dist² (Q,k)), ascending.
 
-    Dispatches to the fused Pallas kernel on TPU (exact, VMEM-resident
-    distance tile; hardware approx-top-k above its target-count bound),
-    sort-based top-k on CPU, chunked-scan XLA elsewhere (ops/knn.py).
-    Invalid targets get +inf distance; invalid queries return garbage rows
-    the caller must mask (their validity flows through q_mask)."""
+    Dispatches to ops/knn.py (hardware approx-top-k on TPU, exact Pallas/
+    top-k elsewhere). Invalid targets get +inf distance; invalid queries
+    return garbage rows the caller must mask (their validity flows through
+    q_mask).
+
+    Precision note: the fit functions calling this run under
+    ``estimation_precision`` ('highest': 6-pass full-f32 matmuls) for the
+    estimator algebra — overkill for neighbor SEARCH. But plain 'default'
+    (single-pass bf16) is NOT enough either: ‖q−t‖² = ‖q‖² − 2q·t + ‖t‖²
+    cancels catastrophically at map coordinates (|q·t| ~ 2500 m² with
+    bf16-truncated inputs ⇒ ±10 m² distance error, scrambling sub-metre
+    neighbor ranking — measured +11% registration error). 'high' (3-pass
+    bf16) recovers ~f32 product precision at half the 'highest' cost —
+    measured accuracy-identical to 'highest' and ~2x faster fits."""
     from ...ops import knn as knn_ops
 
-    return knn_ops.knn(queries, targets, t_mask, k)
+    with jax.default_matmul_precision("high"):
+        return knn_ops.knn(queries, targets, t_mask, k)
 
 
 def _transform(pose: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
@@ -109,7 +119,9 @@ def line_fits(
     shared by the GN residuals and the perturbation-distance sweep."""
     p_map = _transform(pose, corners)                     # (Q, 3)
     idx, d2 = knn(p_map, corner_mask, map_corners, map_mask)
-    nn = map_corners[idx]                                 # (Q, K, 3)
+    # Materialize the gathered neighbors once (barrier keeps XLA from
+    # re-fusing the irregular gather into each consumer below).
+    nn = jax.lax.optimization_barrier(map_corners[idx])   # (Q, K, 3)
     centroid = jnp.mean(nn, axis=1)                       # (Q, 3)
     dc = nn - centroid[:, None, :]
     cov = jnp.einsum("qki,qkj->qij", dc, dc) / KNN_K
@@ -161,7 +173,8 @@ def plane_fits(
     (normal (Q,3), offset (Q,), w (Q,)) with plane ``n·x + offset = 0``."""
     p_map = _transform(pose, surfs)
     idx, d2 = knn(p_map, surf_mask, map_surfs, map_mask)
-    nn = map_surfs[idx]                                   # (Q, K, 3)
+    # Single materialized gather (see line_fits).
+    nn = jax.lax.optimization_barrier(map_surfs[idx])     # (Q, K, 3)
     centroid = jnp.mean(nn, axis=1)
     dc = nn - centroid[:, None, :]
     cov = jnp.einsum("qki,qkj->qij", dc, dc) / KNN_K

@@ -259,6 +259,10 @@ def knn_approx(
     t_sq = jnp.sum(targets * targets, axis=-1)
     inf = jnp.asarray(jnp.inf, queries.dtype)
     Q = queries.shape[0]
+    # Never pad a small query set up to a full chunk (a 192-query
+    # odometry-stage search would otherwise run a 2048-row tile — 10x
+    # wasted VPU work); 128 rows is the lane-tile floor.
+    query_chunk = min(query_chunk, max(-(-Q // 128) * 128, 128))
     pad = (-Q) % query_chunk
     q = jnp.pad(queries, ((0, pad), (0, 0)))
     chunks = q.reshape(-1, query_chunk, 3)
