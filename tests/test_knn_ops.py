@@ -91,3 +91,17 @@ class TestKnnPallasInterpret:
         # Selected neighbors are within bf16 ranking slack of the exact set.
         np.testing.assert_allclose(np.sort(dtrue, axis=1), np.asarray(dx),
                                    rtol=1e-2, atol=1e-2)
+
+
+class TestKnnApproxChunking:
+    def test_small_query_set_clamped_chunk(self):
+        """A query set far below the default chunk must not change results
+        (the clamp only avoids padding waste)."""
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(rng.standard_normal((37, 3)), jnp.float32)
+        t = jnp.asarray(rng.standard_normal((500, 3)), jnp.float32)
+        m = jnp.ones((500,), jnp.float32)
+        ia, da = KNN.knn_approx(q, t, m, k=4, query_chunk=2048)
+        ib, db = KNN.knn_topk(q, t, m, k=4)
+        np.testing.assert_allclose(np.asarray(da), np.asarray(db),
+                                   rtol=1e-5, atol=1e-5)
