@@ -72,6 +72,8 @@ def sensor_spec_from_dict(name: str, d: dict) -> SensorSpec:
         covariance_angular=float(d.get("covariance_angular", 0.1)),
         optimize_after_odom=bool(d.get("optimize_after_odom", False)),
         max_time_skip=float(d.get("max_time_skip", 0.1)),
+        absolute_anchor=bool(d.get("absolute_anchor", False)),
+        anchor_cov_scale=float(d.get("anchor_cov_scale", 25.0)),
     )
 
 
@@ -135,6 +137,16 @@ def vio_config_from_dict(d: dict, cam):
         pixel_sigma=float(d.get("pixel_sigma", 1.0)),
         update_iters=int(d.get("update_iters", 2)),
         chi2_gate=float(d.get("chi2_gate", 9.21)),
+        use_depth_update=bool(d.get("use_depth_update", True)),
+        depth_sigma_update=float(d.get("depth_sigma_update", 0.5)),
+        use_gravity_update=bool(d.get("use_gravity_update", True)),
+        gravity_sigma=float(d.get("gravity_sigma", 0.3)),
+        gravity_accel_gate=float(d.get("gravity_accel_gate", 0.4)),
+        use_zero_velocity_update=bool(
+            d.get("use_zero_velocity_update", True)),
+        zuv_sigma=float(d.get("zuv_sigma", 0.1)),
+        zuv_gyro_th=float(d.get("zuv_gyro_th", 0.02)),
+        zuv_accel_th=float(d.get("zuv_accel_th", 0.15)),
         cam=cam, pose_ic=pose_ic,
     )
 
@@ -172,6 +184,9 @@ def _icp_from_dict(d: dict, base):
         degen_eigval=float(d.get("degen_eigval", base.degen_eigval)),
         line_eig_ratio=float(d.get("line_eig_ratio", base.line_eig_ratio)),
         plane_fit_tol=float(d.get("plane_fit_tol", base.plane_fit_tol)),
+        fit_every=int(d.get("fit_every", base.fit_every)),
+        final_refresh=bool(d.get("final_refresh", base.final_refresh)),
+        eig_sweeps=int(d.get("eig_sweeps", base.eig_sweeps)),
     )
 
 
