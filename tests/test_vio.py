@@ -223,3 +223,19 @@ class TestZeroVelocityUpdate:
         gyro_moving = jnp.full((n, 3), 0.2, DTYPE)
         assert float(E.detect_no_motion(cfg, accel_static, gyro_moving,
                                         dts)) == 0.0
+
+    def test_confident_moving_filter_rejects_zuv(self):
+        """Smooth constant-velocity motion is IMU-indistinguishable from
+        standstill — the Mahalanobis gate must reject v=0 when the filter
+        confidently believes it is moving (ROVIO MahalanobisTh0)."""
+        from vil_sensor_fusion_tpu.frontends.vio import ekf as E
+
+        cfg = V.VioConfig(num_landmarks=4)
+        s = V.init(cfg, lie.pose_make(jnp.array([1.0, 0, 0, 0], DTYPE),
+                                      jnp.zeros(3, DTYPE)),
+                   jnp.array([4.0, 0.0, 0.0], DTYPE), jnp.zeros(6, DTYPE),
+                   sigmas=(1e-3, 1e-3, 0.05, 1e-2, 1e-3))
+        # Motion detector wrongly says static (straight glide):
+        s2 = E.zero_velocity_update(cfg, s, jnp.asarray(1.0, DTYPE))
+        np.testing.assert_allclose(np.asarray(s2.vel), np.asarray(s.vel),
+                                   atol=1e-6)

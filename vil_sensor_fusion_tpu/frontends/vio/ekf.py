@@ -71,6 +71,14 @@ class VioConfig(NamedTuple):
     zuv_sigma: float = 0.1           # m/s measurement σ (vel cov 0.01)
     zuv_gyro_th: float = 0.02        # rad/s max mean |ω| for "no motion"
     zuv_accel_th: float = 0.15       # m/s² max std of ‖accel‖ for "no motion"
+    # Mahalanobis gate (ROVIO's MahalanobisTh0 7.69): IMU statistics alone
+    # cannot distinguish standstill from smooth CONSTANT-VELOCITY motion
+    # (|ω| and accel variance both ~0 on a straight glide) — without this
+    # gate the update would drag a moving filter's velocity toward zero.
+    # With it, a confident nonzero velocity estimate rejects the v=0
+    # measurement; only a filter that genuinely believes it may be
+    # stationary accepts it.
+    zuv_chi2_gate: float = 7.69
     cam: C.Camera = C.carla_camera()
     # camera-from-imu extrinsics (identity: camera at the IMU, z forward)
     pose_ic: tuple = (1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
@@ -379,16 +387,22 @@ def zero_velocity_update(
     is_static: jnp.ndarray,       # scalar 0/1 motion-detection verdict
 ) -> VioState:
     """ROVIO's ZeroVelocityUpdate: measure v = 0 when the motion detector
-    says the platform is static. Gated rows get effectively infinite
-    variance (same masking pattern as the other updates)."""
+    says the platform is static AND the measurement passes the
+    Mahalanobis check (cfg.zuv_chi2_gate — see config comment: the χ²
+    gate is what stops smooth constant-velocity motion, which is
+    IMU-indistinguishable from standstill, from being dragged to zero).
+    Gated rows get effectively infinite variance (same masking pattern as
+    the other updates)."""
     dtype = s.pose.dtype
     D = s.cov.shape[0]
     big = jnp.asarray(1e12, dtype)
-    R_eff = jnp.where(is_static > 0, cfg.zuv_sigma ** 2, big) \
-        * jnp.ones((3,), dtype)
     H = jnp.zeros((3, D), dtype).at[:, 6:9].set(jnp.eye(3, dtype=dtype))
     r = -s.vel
     HP = H @ s.cov
+    S_nom = HP @ H.T + cfg.zuv_sigma ** 2 * jnp.eye(3, dtype=dtype)
+    chi2 = r @ jnp.linalg.solve(S_nom, r)
+    ok = (is_static > 0) & (chi2 < cfg.zuv_chi2_gate)
+    R_eff = jnp.where(ok, cfg.zuv_sigma ** 2, big) * jnp.ones((3,), dtype)
     S = HP @ H.T + jnp.diag(R_eff)
     K = jnp.linalg.solve(S, HP).T
     s_new = _retract(cfg, s, K @ r)
