@@ -183,6 +183,13 @@ class TestGravityUpdate:
         s2 = E.gravity_update(cfg, s, accel)
         np.testing.assert_allclose(np.asarray(s2.pose),
                                    np.asarray(s.pose), atol=1e-9)
+        # And a gravity-magnitude reading while MOVING (is_static=0) must
+        # also be a no-op — smooth driving carries vehicle acceleration
+        # the model would misread as attitude bias.
+        accel_g = jnp.array([0.1, 0.0, 9.81], DTYPE)
+        s2 = E.gravity_update(cfg, s, accel_g, is_static=0.0)
+        np.testing.assert_allclose(np.asarray(s2.pose),
+                                   np.asarray(s.pose), atol=1e-9)
 
 
 class TestZeroVelocityUpdate:

@@ -51,13 +51,18 @@ class VioConfig(NamedTuple):
     use_depth_update: bool = True
     depth_sigma_update: float = 0.5  # per-measurement σ (m)
     depth_chi2_gate: float = 6.63    # 1-dof 99% gate
-    # Gravity/attitude anchoring: under low dynamics the window-mean
+    # Gravity/attitude anchoring: while STATIONARY the window-mean
     # accelerometer reading measures b_a + g·Rᵀe_z, observing roll/pitch
     # (yaw stays unobservable — H's attitude block has a null space along
-    # gravity). This bounds the attitude random walk that otherwise grows
-    # without bound on long drives and leaks into position through
-    # gravity-compensation errors (ROVIO's filter gains the same anchoring
-    # from modeling gravity in its propagation/update loop).
+    # gravity). STRICTLY a stationary-mode aid (gated by the no-motion
+    # detector like the zero-velocity update): during smooth driving the
+    # accelerometer also carries vehicle acceleration — e.g. a gentle
+    # 0.13 m/s² lane-weave — which this model would misread as ~0.7° of
+    # roll, a SYSTEMATIC attitude bias whose correlated odometry deltas
+    # poison the fusion chain far more than random drift (measured: 3.5×
+    # fused ATE at 230 s when this fired while moving). In motion, gravity
+    # stays observable through the EKF's own propagation/update structure,
+    # exactly as in ROVIO.
     use_gravity_update: bool = True
     gravity_sigma: float = 0.3       # m/s² measurement σ (deliberately wide)
     gravity_accel_gate: float = 0.4  # |‖f‖ − g| beyond this ⇒ skip (dynamic)
@@ -340,14 +345,14 @@ def gravity_update(
     cfg: VioConfig,
     s: VioState,
     accel_mean: jnp.ndarray,    # (3,) window-mean raw accelerometer reading
+    is_static: jnp.ndarray | float = 1.0,   # no-motion detector verdict
 ) -> VioState:
     """Accelerometer-referenced roll/pitch pseudo-measurement (see
-    VioConfig.use_gravity_update). Measurement model under low dynamics:
-    z = accel_mean, h(x) = b_a + g·Rᵀe_z; the update is applied only when
-    ‖accel_mean − b_a‖ is within ``gravity_accel_gate`` of g (otherwise
-    the vehicle is accelerating and the reading says nothing about
-    gravity — the masked row gets effectively infinite variance, exactly
-    like gated features in :func:`update`)."""
+    VioConfig.use_gravity_update — STATIONARY-mode only). Measurement
+    model: z = accel_mean, h(x) = b_a + g·Rᵀe_z; applied only when the
+    no-motion detector fires AND ‖accel_mean − b_a‖ is within
+    ``gravity_accel_gate`` of g (masked rows get effectively infinite
+    variance, exactly like gated features in :func:`update`)."""
     dtype = s.pose.dtype
     D = s.cov.shape[0]
     e_z = jnp.array([0.0, 0.0, 1.0], dtype)
@@ -357,10 +362,10 @@ def gravity_update(
     pred = ba + cfg.gravity * u
     r = accel_mean - pred
 
-    # Low-dynamics gate.
+    # Static + low-dynamics gate.
     f_norm = jnp.linalg.norm(accel_mean - ba)
-    ok = (jnp.abs(f_norm - cfg.gravity)
-          < cfg.gravity_accel_gate).astype(dtype)
+    ok = ((jnp.abs(f_norm - cfg.gravity) < cfg.gravity_accel_gate)
+          & (jnp.asarray(is_static, dtype) > 0)).astype(dtype)
     big = jnp.asarray(1e12, dtype)
     R_eff = jnp.where(ok > 0, cfg.gravity_sigma ** 2, big) \
         * jnp.ones((3,), dtype)

@@ -47,13 +47,14 @@ def step(
     depth_sigma: float = 0.1,
 ) -> tuple[E.VioState, VioOutput]:
     s = E.propagate(cfg, s, fin.accel, fin.gyro, fin.dts)
+    if cfg.use_gravity_update or cfg.use_zero_velocity_update:
+        static = E.detect_no_motion(cfg, fin.accel, fin.gyro, fin.dts)
     if cfg.use_gravity_update:
         live = (fin.dts > 0).astype(s.pose.dtype)
         n = jnp.maximum(jnp.sum(live), 1.0)
         accel_mean = jnp.sum(fin.accel * live[:, None], axis=0) / n
-        s = E.gravity_update(cfg, s, accel_mean)
+        s = E.gravity_update(cfg, s, accel_mean, is_static=static)
     if cfg.use_zero_velocity_update:
-        static = E.detect_no_motion(cfg, fin.accel, fin.gyro, fin.dts)
         s = E.zero_velocity_update(cfg, s, static)
     s = E.update(cfg, s, fin.obs_uv, fin.obs_valid,
                  obs_depth=fin.obs_depth)
