@@ -147,6 +147,13 @@ def vio_config_from_dict(d: dict, cam):
         zuv_sigma=float(d.get("zuv_sigma", 0.1)),
         zuv_gyro_th=float(d.get("zuv_gyro_th", 0.02)),
         zuv_accel_th=float(d.get("zuv_accel_th", 0.15)),
+        # Direct photometric mode (rovio.cfg patchSize/nLevels/
+        # UpdateNoise.pix — see frontends.vio.photometric).
+        use_photometric=bool(d.get("use_photometric", False)),
+        patch_radius=int(d.get("patch_radius", 3)),
+        photo_levels=int(d.get("photo_levels", 2)),
+        photo_sigma=float(d.get("photo_sigma", 4.0)),
+        photo_chi2_per_dof=float(d.get("photo_chi2_per_dof", 4.0)),
         cam=cam, pose_ic=pose_ic,
     )
 

@@ -6,6 +6,7 @@ LiDAR-provided feature depth initialization (rovio.cfg useDepthFromLiDAR)."""
 from . import camera
 from . import ekf
 from . import frontend
+from . import photometric
 from . import pipeline
 from . import synthetic
 from . import tracker
@@ -15,7 +16,8 @@ from .frontend import FrontendConfig, build_frames, forward_camera_extrinsics
 from .pipeline import VioFrameInput, VioOutput, run, step
 
 __all__ = [
-    "camera", "ekf", "frontend", "pipeline", "synthetic", "tracker",
+    "camera", "ekf", "frontend", "photometric", "pipeline", "synthetic",
+    "tracker",
     "Camera", "backproject", "carla_camera", "project",
     "VioConfig", "VioState", "init", "init_landmark", "pose_covariance",
     "propagate", "update", "VioFrameInput", "VioOutput", "run", "step",

@@ -5,12 +5,17 @@ landmarks in the state, iterated camera updates, and **LiDAR-provided
 feature depth** for landmark initialization (the thesis's customization,
 rovio.cfg:133-138 ``useDepthFromLiDAR true``).
 
-Differences from ROVIO by design (SURVEY.md §7.6): updates are geometric
-reprojection residuals on tracked features rather than direct photometric
-patch errors — same estimator structure (robocentric information flow,
-iterated update, landmark states), same outputs (20 Hz odometry + 6×6 pose
-covariance for the degeneracy metrics), far better fit to batched TPU
-execution (the whole update is dense linear algebra on a ~100-dim state).
+Two innovation styles are available (same estimator structure — iterated
+update, landmark states — same outputs: 20 Hz odometry + 6×6 pose
+covariance for the degeneracy metrics):
+
+- **geometric** (this module's :func:`update`, the default production
+  path): reprojection residuals on KLT-tracked features — dense linear
+  algebra on a ~100-dim state, the best fit to batched TPU execution;
+- **direct photometric** (``use_photometric=True`` →
+  :mod:`.photometric`): ROVIO's own multi-level patch-intensity
+  innovation (rovio.cfg ``useDirectMethod``/patchSize/nLevels) — the
+  filter-internals parity mode.
 
 State: pose (q wxyz, p), vel, bias(ba, bg), M landmark world points.
 Error order: [δθ(3) | δp(3) | δv(3) | δba(3) | δbg(3) | δl₁(3) … δl_M(3)],
@@ -84,6 +89,18 @@ class VioConfig(NamedTuple):
     # measurement; only a filter that genuinely believes it may be
     # stationary accepts it.
     zuv_chi2_gate: float = 7.69
+    # Direct photometric patch updates (ROVIO's native measurement —
+    # rovio.cfg patchSize 8 / nLevels / startLevel..endLevel, UpdateNoise.pix):
+    # landmark templates are multi-level intensity patches and the iterated
+    # update minimizes raw intensity error at the predicted projection
+    # (photometric.photometric_update). Off by default: the geometric
+    # reprojection update is the production path; this is the
+    # filter-internals parity mode.
+    use_photometric: bool = False
+    patch_radius: int = 3            # (2r+1)² patch ≈ ROVIO's 8×8 (patchSize)
+    photo_levels: int = 2            # pyramid levels used (nLevels span)
+    photo_sigma: float = 4.0         # per-pixel intensity σ, 0–255 scale
+    photo_chi2_per_dof: float = 4.0  # per-landmark patch gate (MahalanobisTh0)
     cam: C.Camera = C.carla_camera()
     # camera-from-imu extrinsics (identity: camera at the IMU, z forward)
     pose_ic: tuple = (1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
@@ -335,6 +352,47 @@ def update(
     r, H, HP, R_eff, _ = measurement(s_new)
     S = HP @ H.T + jnp.diag(R_eff)
     K = jnp.linalg.solve(S, HP).T
+    I_KH = jnp.eye(D, dtype=dtype) - K @ H
+    cov = I_KH @ s0.cov @ I_KH.T + K @ jnp.diag(R_eff) @ K.T
+    return s_new._replace(cov=0.5 * (cov + cov.T))
+
+
+@estimation_precision
+def depth_update(
+    cfg: VioConfig,
+    s: VioState,
+    obs_depth: jnp.ndarray,     # (M,) LiDAR depth at the PREDICTED pixels
+) -> VioState:
+    """Standalone per-landmark LiDAR range update (camera-axis depth) —
+    the continuous useDepthFromLiDAR scale anchor for the photometric
+    pipeline, where there is no tracked-pixel measurement to piggyback on
+    (the geometric path fuses these rows jointly inside :func:`update`).
+    Same model: z = depth, h(x) = camera-frame z of the landmark; χ²-gated
+    per row, masked rows get effectively infinite variance."""
+    dtype = s.pose.dtype
+    M = cfg.num_landmarks
+    D = _dim(cfg)
+    R_dep = cfg.depth_sigma_update ** 2
+    big = jnp.asarray(1e12, dtype)
+    s0 = s
+
+    def h_of(dx):
+        return _predict_cam_z(cfg, _retract(cfg, s0, dx))
+
+    dx0 = jnp.zeros((D,), dtype)
+    pred = h_of(dx0)
+    H = jax.jacfwd(h_of)(dx0)                        # (M, D)
+    _, vis = _predict_pixels(cfg, s0)
+    r = obs_depth - pred
+    HP = H @ s0.cov
+    S_diag = jnp.einsum("md,md->m", HP, H)
+    chi2 = r * r / (S_diag + R_dep)
+    w = (s.lm_valid * vis.astype(dtype) * (obs_depth > 0)
+         * (chi2 < cfg.depth_chi2_gate).astype(dtype))
+    R_eff = jnp.where(w > 0, R_dep, big)
+    S = HP @ H.T + jnp.diag(R_eff)
+    K = jnp.linalg.solve(S, HP).T
+    s_new = _retract(cfg, s0, K @ r)
     I_KH = jnp.eye(D, dtype=dtype) - K @ H
     cov = I_KH @ s0.cov @ I_KH.T + K @ jnp.diag(R_eff) @ K.T
     return s_new._replace(cov=0.5 * (cov + cov.T))

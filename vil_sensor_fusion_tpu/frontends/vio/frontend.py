@@ -116,6 +116,52 @@ def depth_at(cfg: FrontendConfig, proj: jnp.ndarray,
     return jnp.where(best <= cfg.depth_radius_px ** 2, z, 0.0)
 
 
+def assign_candidates(
+    cfg: FrontendConfig,
+    live_uv: jnp.ndarray,          # (M, 2) live feature positions
+    live_valid: jnp.ndarray,       # (M,)
+    cand_uv: jnp.ndarray,          # (C, 2) detection candidates
+    cand_score: jnp.ndarray,       # (C,)
+    cand_depth: jnp.ndarray,       # (C,) LiDAR depth per candidate (0 = none)
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Filter candidates against live features and rank-match survivors to
+    free slots (static shapes; shared by the KLT and photometric
+    pipelines). Returns (new_uv (M, 2), new_depth (M,), new_enable (M,))."""
+    dtype = live_uv.dtype
+    M = live_uv.shape[0]
+
+    # Drop candidates near live features or without depth.
+    d2 = jnp.sum(
+        (cand_uv[:, None, :] - live_uv[None, :, :]) ** 2, axis=-1)  # (C, M)
+    d2 = jnp.where(live_valid[None, :] > 0, d2, jnp.inf)
+    far = jnp.min(d2, axis=-1) > cfg.min_dist ** 2
+    cand_ok = (far & (cand_score > cfg.min_score) & (cand_depth > 0))
+
+    # Also keep candidates apart from each other: suppress a candidate that
+    # is within min_dist of a better (earlier-ranked) accepted candidate.
+    cd2 = jnp.sum((cand_uv[:, None, :] - cand_uv[None, :, :]) ** 2, axis=-1)
+    earlier = (jnp.arange(cand_uv.shape[0])[None, :]
+               < jnp.arange(cand_uv.shape[0])[:, None])
+    clash = jnp.any(
+        (cd2 < cfg.min_dist ** 2) & earlier & cand_ok[None, :], axis=-1)
+    cand_ok = cand_ok & ~clash
+
+    # Rank-match accepted candidates to free slots (static shapes):
+    # the r-th accepted candidate fills the r-th free slot.
+    free = live_valid <= 0
+    slot_rank = jnp.cumsum(free.astype(jnp.int32)) - 1       # (M,) 0-based
+    order = jnp.argsort(~cand_ok, stable=True)               # ok-first
+    n_ok = jnp.sum(cand_ok.astype(jnp.int32))
+    cand_for_slot = order[jnp.clip(slot_rank, 0, cand_uv.shape[0] - 1)]
+    assign = free & (slot_rank < n_ok)
+
+    new_uv = jnp.where(assign[:, None], cand_uv[cand_for_slot],
+                       jnp.zeros((M, 2), dtype))
+    new_depth = jnp.where(assign, cand_depth[cand_for_slot],
+                          jnp.ones((M,), dtype))
+    return new_uv, new_depth, assign.astype(dtype)
+
+
 # ---------------------------------------------------------------------------
 # Per-frame step
 # ---------------------------------------------------------------------------
@@ -143,38 +189,11 @@ def _track_and_assign(
     obs_valid = obs_valid * ts.valid   # dead slots stay dead through KLT
     obs_depth = depth_at(cfg, proj, obs_uv) * obs_valid
 
-    # 2. Filter candidates: drop those near live tracks or without depth.
-    d2 = jnp.sum(
-        (cand_uv[:, None, :] - obs_uv[None, :, :]) ** 2, axis=-1)  # (C, M)
-    d2 = jnp.where(obs_valid[None, :] > 0, d2, jnp.inf)
-    far = jnp.min(d2, axis=-1) > cfg.min_dist ** 2
-    cand_ok = (far & (cand_score > cfg.min_score) & (cand_depth > 0))
+    # 2-3. Fill freed slots from the candidate pool.
+    new_uv, new_depth, new_enable = assign_candidates(
+        cfg, obs_uv, obs_valid, cand_uv, cand_score, cand_depth)
 
-    # Also keep candidates apart from each other: suppress a candidate that
-    # is within min_dist of a better (earlier-ranked) accepted candidate.
-    cd2 = jnp.sum((cand_uv[:, None, :] - cand_uv[None, :, :]) ** 2, axis=-1)
-    earlier = (jnp.arange(cand_uv.shape[0])[None, :]
-               < jnp.arange(cand_uv.shape[0])[:, None])
-    clash = jnp.any(
-        (cd2 < cfg.min_dist ** 2) & earlier & cand_ok[None, :], axis=-1)
-    cand_ok = cand_ok & ~clash
-
-    # 3. Rank-match accepted candidates to free slots (static shapes):
-    # the r-th accepted candidate fills the r-th free slot.
-    free = obs_valid <= 0
-    slot_rank = jnp.cumsum(free.astype(jnp.int32)) - 1       # (M,) 0-based
-    order = jnp.argsort(~cand_ok, stable=True)               # ok-first
-    n_ok = jnp.sum(cand_ok.astype(jnp.int32))
-    cand_for_slot = order[jnp.clip(slot_rank, 0, cand_uv.shape[0] - 1)]
-    assign = free & (slot_rank < n_ok)
-
-    new_uv = jnp.where(assign[:, None], cand_uv[cand_for_slot],
-                       jnp.zeros((M, 2), dtype))
-    new_depth = jnp.where(assign, cand_depth[cand_for_slot],
-                          jnp.ones((M,), dtype))
-    new_enable = assign.astype(dtype)
-
-    uv_next = jnp.where(assign[:, None], new_uv, obs_uv)
+    uv_next = jnp.where(new_enable[:, None] > 0, new_uv, obs_uv)
     valid_next = jnp.maximum(obs_valid, new_enable)
     return (
         TrackerState(pyr=pyr_new, uv=uv_next, valid=valid_next),
