@@ -2,7 +2,9 @@
 
 Times every sub-kernel of the VIL pipeline separately (random inputs at the
 real shapes — control flow is static, so timings match the bench) to find
-where the frontend's 539 ms and the lidar stage's 516 ms actually go.
+where each bench stage's milliseconds actually go (r4 batched pass:
+lidar 1060 ms, fusion 353 ms, frontend_track 174 ms, frontend_detect
+163 ms of a 2.05 s 8-lane pass).
 
 Usage: python scripts/profile_stages.py [--res 400x300] [--frames 80]
 """
@@ -223,6 +225,7 @@ def main():
             accel=imu_w[0], gyro=imu_w[1], dts=imu_w[2],
             obs_uv=jnp.asarray(rng.uniform(20, 200, (Tn, M, 2)), dtype),
             obs_valid=jnp.ones((Tn, M), dtype),
+            obs_depth=jnp.zeros((Tn, M), dtype),
             new_uv=jnp.zeros((Tn, M, 2), dtype),
             new_depth=jnp.ones((Tn, M), dtype),
             new_enable=jnp.zeros((Tn, M), dtype))
