@@ -50,7 +50,8 @@ import jax.numpy as jnp
 def run_soak(duration=60.0, chunk=10.0, cam_w=800, cam_h=600, speed=4.0,
              landmarks=24, checkpoint_test=False,
              checkpoint_dir="/tmp/soak_ckpt", verbose=True, dtype=None,
-             vio_use_odom_cov=False, vio_cov=0.3, lidar_cov=0.05):
+             vio_use_odom_cov=False, vio_cov=0.3, lidar_cov=0.05,
+             gravity_update=True, zuv_update=True):
     from vil_sensor_fusion_tpu import fusion as fu
     from vil_sensor_fusion_tpu import graph as G
     from vil_sensor_fusion_tpu import utils as U
@@ -101,7 +102,9 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=800, cam_h=600, speed=4.0,
                         width=cam_w, height=cam_h)
     pose_ic = F.forward_camera_extrinsics(dtype)
     vio_cfg = V.VioConfig(num_landmarks=landmarks, update_iters=2, cam=cam,
-                          pose_ic=tuple(np.asarray(pose_ic)))
+                          pose_ic=tuple(np.asarray(pose_ic)),
+                          use_gravity_update=gravity_update,
+                          use_zero_velocity_update=zuv_update)
     fe_cfg = F.FrontendConfig(
         cam=cam, n_candidates=64 if big_cam else 32,
         min_dist=24.0 if big_cam else 10.0, min_score=0.5)
@@ -375,6 +378,10 @@ def main():
                          "comment in run_soak)")
     ap.add_argument("--vio-cov", type=float, default=0.3)
     ap.add_argument("--lidar-cov", type=float, default=0.05)
+    ap.add_argument("--no-gravity", action="store_true",
+                    help="disable the EKF gravity/attitude pseudo-update")
+    ap.add_argument("--no-zuv", action="store_true",
+                    help="disable the EKF zero-velocity update")
     args = ap.parse_args()
     cam_w, cam_h = map(int, args.cam.split("x"))
     summary, _ = run_soak(duration=args.duration, chunk=args.chunk,
@@ -382,7 +389,9 @@ def main():
                           landmarks=args.landmarks,
                           checkpoint_test=args.checkpoint_test,
                           vio_use_odom_cov=args.vio_odom_cov,
-                          vio_cov=args.vio_cov, lidar_cov=args.lidar_cov)
+                          vio_cov=args.vio_cov, lidar_cov=args.lidar_cov,
+                          gravity_update=not args.no_gravity,
+                          zuv_update=not args.no_zuv)
     print(json.dumps(summary, indent=2))
 
 

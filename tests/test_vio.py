@@ -191,6 +191,34 @@ class TestGravityUpdate:
         np.testing.assert_allclose(np.asarray(s2.pose),
                                    np.asarray(s.pose), atol=1e-9)
 
+    def test_smooth_cruise_rejected_by_velocity_gate(self):
+        """A smooth constant-speed cruise (or gentle lane-weave) looks
+        'static' to window IMU statistics — mean|ω|≈0, std‖f‖≈0, ‖f‖≈g —
+        but the filter KNOWS it is moving. The velocity-Mahalanobis gate
+        must make the gravity update a no-op there (regression: without
+        it, the phantom-roll bias compounded to ~7× fused ATE over a
+        345 s soak drive)."""
+        from vil_sensor_fusion_tpu.frontends.vio import ekf as E
+
+        cfg = V.VioConfig(num_landmarks=4)
+        q0 = lie.so3_exp_quat(jnp.array([0.05, 0.0, 0.0], DTYPE))
+        # Confidently moving at 4 m/s (tight velocity covariance).
+        s = V.init(cfg, lie.pose_make(q0, jnp.zeros(3, DTYPE)),
+                   jnp.array([4.0, 0.0, 0.0], DTYPE), jnp.zeros(6, DTYPE),
+                   sigmas=(0.2, 1e-3, 1e-2, 1e-2, 1e-3))
+        accel_g = jnp.array([0.1, 0.0, 9.81], DTYPE)
+        # Window statistics say static (is_static=1) — the velocity gate
+        # must still reject.
+        s2 = E.gravity_update(cfg, s, accel_g, is_static=1.0)
+        np.testing.assert_allclose(np.asarray(s2.pose),
+                                   np.asarray(s.pose), atol=1e-9)
+        # A genuinely stationary filter with the same window accepts.
+        s_st = V.init(cfg, lie.pose_make(q0, jnp.zeros(3, DTYPE)),
+                      jnp.zeros(3, DTYPE), jnp.zeros(6, DTYPE),
+                      sigmas=(0.2, 1e-3, 1e-2, 1e-2, 1e-3))
+        s3 = E.gravity_update(cfg, s_st, accel_g, is_static=1.0)
+        assert float(jnp.max(jnp.abs(s3.pose - s_st.pose))) > 1e-6
+
 
 class TestZeroVelocityUpdate:
     def test_static_platform_velocity_pulled_to_zero(self):

@@ -420,9 +420,21 @@ def gravity_update(
     pred = ba + cfg.gravity * u
     r = accel_mean - pred
 
-    # Static + low-dynamics gate.
+    # Static + low-dynamics gate, PLUS the filter's own velocity
+    # Mahalanobis check (the same protection zero_velocity_update has):
+    # window IMU statistics cannot distinguish standstill from smooth
+    # cruise — a 0.125 m/s² lane-weave at 4 m/s reads as "static"
+    # (mean|ω|≈0, std‖f‖≈0, ‖f‖≈g) yet carries vehicle acceleration the
+    # gravity model would misread as ~0.7° of roll, a time-correlated
+    # odometry bias that compounded to ~7× fused ATE over a 345 s soak.
+    # A filter confident it is MOVING must reject the stationary-gravity
+    # interpretation regardless of how quiet the IMU window looks.
     f_norm = jnp.linalg.norm(accel_mean - ba)
+    P_vv = s.cov[6:9, 6:9]
+    S_v = P_vv + cfg.zuv_sigma ** 2 * jnp.eye(3, dtype=dtype)
+    chi2_v = s.vel @ jnp.linalg.solve(S_v, s.vel)
     ok = ((jnp.abs(f_norm - cfg.gravity) < cfg.gravity_accel_gate)
+          & (chi2_v < cfg.zuv_chi2_gate)
           & (jnp.asarray(is_static, dtype) > 0)).astype(dtype)
     big = jnp.asarray(1e12, dtype)
     R_eff = jnp.where(ok > 0, cfg.gravity_sigma ** 2, big) \
