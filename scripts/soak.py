@@ -51,7 +51,8 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=800, cam_h=600, speed=4.0,
              landmarks=24, checkpoint_test=False,
              checkpoint_dir="/tmp/soak_ckpt", verbose=True, dtype=None,
              vio_use_odom_cov=False, vio_cov=0.3, lidar_cov=0.05,
-             gravity_update=True, zuv_update=True):
+             gravity_update=True, zuv_update=True, lidar_anchor=False,
+             anchor_scale=25.0):
     from vil_sensor_fusion_tpu import fusion as fu
     from vil_sensor_fusion_tpu import graph as G
     from vil_sensor_fusion_tpu import utils as U
@@ -137,7 +138,12 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=800, cam_h=600, speed=4.0,
                       covariance_angular=vio_cov, max_time_skip=0.1),
         fu.SensorSpec(name="lidar", optimize_after_odom=False,
                       use_odom_covariance=False, covariance_linear=lidar_cov,
-                      covariance_angular=lidar_cov, max_time_skip=0.2),
+                      covariance_angular=lidar_cov, max_time_skip=0.2,
+                      # scan-to-map odometry is world-frame consistent;
+                      # the absolute anchor feeds that information to the
+                      # fused chain (SensorSpec.absolute_anchor)
+                      absolute_anchor=lidar_anchor,
+                      anchor_cov_scale=anchor_scale),
     )
     fusion_cfg = fu.FusionConfig(
         smoother=G.SmootherConfig(window=6, between_slots=12, gn_iters=4),
@@ -382,6 +388,10 @@ def main():
                     help="disable the EKF gravity/attitude pseudo-update")
     ap.add_argument("--no-zuv", action="store_true",
                     help="disable the EKF zero-velocity update")
+    ap.add_argument("--lidar-anchor", action="store_true",
+                    help="absolute map-anchored unary factors from the "
+                         "scan-to-map stream (SensorSpec.absolute_anchor)")
+    ap.add_argument("--anchor-scale", type=float, default=25.0)
     args = ap.parse_args()
     cam_w, cam_h = map(int, args.cam.split("x"))
     summary, _ = run_soak(duration=args.duration, chunk=args.chunk,
@@ -391,7 +401,9 @@ def main():
                           vio_use_odom_cov=args.vio_odom_cov,
                           vio_cov=args.vio_cov, lidar_cov=args.lidar_cov,
                           gravity_update=not args.no_gravity,
-                          zuv_update=not args.no_zuv)
+                          zuv_update=not args.no_zuv,
+                          lidar_anchor=args.lidar_anchor,
+                          anchor_scale=args.anchor_scale)
     print(json.dumps(summary, indent=2))
 
 
