@@ -205,7 +205,9 @@ def main():
             odo_pose=jnp.broadcast_to(lie.pose_identity(dtype), (Ev, 7)),
             odo_cov=jnp.broadcast_to(jnp.eye(6, dtype=dtype) * 0.1,
                                      (Ev, 6, 6)),
-            keep=jnp.ones((Ev,), dtype), valid=jnp.ones((Ev,), dtype))
+            keep=jnp.ones((Ev,), dtype), valid=jnp.ones((Ev,), dtype),
+            odo_twist_cov=jnp.broadcast_to(jnp.eye(6, dtype=dtype) * 0.1,
+                                           (Ev, 6, 6)))
         es0 = fu.init(fcfg, lie.pose_identity(dtype), jnp.zeros(3, dtype),
                       jnp.zeros(6, dtype), jnp.asarray(-1e-3, dtype))
         n_imu = 800

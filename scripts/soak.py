@@ -50,7 +50,8 @@ import jax.numpy as jnp
 def run_soak(duration=60.0, chunk=10.0, cam_w=800, cam_h=600, speed=4.0,
              landmarks=24, checkpoint_test=False,
              checkpoint_dir="/tmp/soak_ckpt", verbose=True, dtype=None,
-             vio_use_odom_cov=False, vio_cov=0.3, lidar_cov=0.05,
+             vio_use_odom_cov=False, vio_twist_cov=False,
+             vio_cov=0.3, lidar_cov=0.05,
              gravity_update=True, zuv_update=True, lidar_anchor=False,
              anchor_scale=25.0):
     from vil_sensor_fusion_tpu import fusion as fu
@@ -125,15 +126,16 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=800, cam_h=600, speed=4.0,
     # ``vio_use_odom_cov`` makes the EKF's own POSE covariance — which
     # GROWS with drift — the between-factor noise, so a drifting VIO is
     # adaptively downweighted against the bounded ICP covariance over long
-    # horizons. NOTE this is deliberately NOT the exact reference
-    # use_odom_covariance semantics: the reference copies the odometry
-    # message's TWIST covariance into the between-factor noise
-    # (SensorManagerRos.cpp:154-156), a velocity-uncertainty proxy; the
-    # pose covariance is the quantity that actually tracks accumulated
-    # drift, so the adaptive-downweighting experiment uses it instead.
+    # horizons (SensorSpec.use_pose_covariance, this framework's adaptive
+    # extension). ``vio_twist_cov`` is the LITERAL reference
+    # use_odom_covariance semantics: the odometry message's TWIST
+    # covariance (the EKF's velocity marginal + gyro-rate noise,
+    # ekf.twist_covariance) copied verbatim into the between noise —
+    # SensorManagerRos.cpp:154-156.
     sensors = (
         fu.SensorSpec(name="vio", optimize_after_odom=True,
-                      use_odom_covariance=vio_use_odom_cov,
+                      use_pose_covariance=vio_use_odom_cov,
+                      use_odom_covariance=vio_twist_cov,
                       covariance_linear=vio_cov,
                       covariance_angular=vio_cov, max_time_skip=0.1),
         fu.SensorSpec(name="lidar", optimize_after_odom=False,
@@ -195,6 +197,10 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=800, cam_h=600, speed=4.0,
         gres = DG.logdet_gate(lidar_out.hessian, gate_cfg,
                               n_corr=lidar_out.n_corr)
         vio_keep = jnp.ones((Tv,), dtype)
+        # LiDAR twist covariance: pose delta over the sweep period, so the
+        # registration covariance scaled by 1/dt^2 (vil.py stage-4 parity).
+        lidar_twist = lidar_out.cov / jnp.asarray(
+            (1.0 / lidar_hz) ** 2, dtype)
         tl = E.Timeline(
             times=(t_off + rel_sorted).astype(dtype), source=src,
             odo_pose=jnp.concatenate(
@@ -203,6 +209,8 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=800, cam_h=600, speed=4.0,
                 [vio_out.cov, lidar_out.cov], axis=0)[order],
             keep=jnp.concatenate([vio_keep, gres.keep], axis=0)[order],
             valid=jnp.ones((Tv + Tl,), dtype),
+            odo_twist_cov=jnp.concatenate(
+                [vio_out.twist_cov, lidar_twist], axis=0)[order],
         )
         es1, fused = E.run(fusion_cfg, state["engine"], tl, imu_t,
                            imu_a, imu_g)
@@ -382,6 +390,10 @@ def main():
                          "between-factor noise (adaptive-noise variant of "
                          "the reference's use_odom_covariance switch; see "
                          "comment in run_soak)")
+    ap.add_argument("--vio-twist-cov", action="store_true",
+                    help="LITERAL reference use_odom_covariance semantics: "
+                         "the VIO twist covariance copied verbatim into "
+                         "the between noise (SensorManagerRos.cpp:154-156)")
     ap.add_argument("--vio-cov", type=float, default=0.3)
     ap.add_argument("--lidar-cov", type=float, default=0.05)
     ap.add_argument("--no-gravity", action="store_true",
@@ -399,6 +411,7 @@ def main():
                           landmarks=args.landmarks,
                           checkpoint_test=args.checkpoint_test,
                           vio_use_odom_cov=args.vio_odom_cov,
+                          vio_twist_cov=args.vio_twist_cov,
                           vio_cov=args.vio_cov, lidar_cov=args.lidar_cov,
                           gravity_update=not args.no_gravity,
                           zuv_update=not args.no_zuv,

@@ -75,6 +75,36 @@ class TestBatchOracle:
         assert float(d_tr.max()) < 0.05, d_tr.max()
         assert float(d_tr.mean()) < 0.02, d_tr.mean()
 
+    def test_window_growth_improves_vs_batch(self):
+        """A LARGER lag must track the full-batch MAP at least as well —
+        the r4 anomaly (delta growing 0.024→0.055 m as W went 4→10,
+        ORACLE.json r4) was the marginal prior being re-centered at shifted
+        current estimates every slide; under the first-estimates policy
+        (graph/smoother.py add_keyframe) the window sweep must be flat or
+        improving. Pinned at two windows to bound runtime; the full sweep
+        artifact is scripts/oracle_report.py → ORACLE.json."""
+        cfg4, tl, imu, (pose0, vel0, bias0), traj = _problem(noise=0.02,
+                                                             seed=1)
+        sol = B.solve_batch(cfg4, tl, imu.times, imu.accel, imu.gyro,
+                            pose0, vel0, bias0, 0.0)
+        batch_tr = np.asarray(sol.poses)[1:, 4:7]
+        deltas = {}
+        for w in (4, 12):
+            cfg = cfg4._replace(smoother=cfg4.smoother._replace(
+                window=w, between_slots=2 * w))
+            es = fu.init(cfg, pose0, vel0, bias0, jnp.zeros((), DTYPE))
+            _, out = jax.jit(lambda e, t, c=cfg: fu.run(
+                c, e, t, imu.times, imu.accel, imu.gyro))(es, tl)
+            d = np.linalg.norm(np.asarray(out.poses)[:, 4:7] - batch_tr,
+                               axis=-1)
+            deltas[w] = d
+        # The larger window must not be farther from the batch answer
+        # (10% slack for solver noise).
+        assert float(deltas[12].mean()) <= 1.1 * float(deltas[4].mean()), \
+            (deltas[12].mean(), deltas[4].mean())
+        assert float(deltas[12][-1]) <= 1.1 * float(deltas[4][-1]), \
+            (deltas[12][-1], deltas[4][-1])
+
     def test_gap_bounded_under_noise(self):
         """With noisy odometry the two estimators may disagree more (the
         batch solve smooths PAST states with future information the

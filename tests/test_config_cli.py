@@ -56,6 +56,45 @@ class TestConfig:
         names = [s.name for s in vil.fusion.sensors]
         assert names == ["lidar", "vio"]
 
+    def test_san_rafael_builds_and_differs_from_carla(self):
+        """The SECOND per-dataset family (VERDICT r4 next #9): the
+        san_rafael-shaped rig (gtsam_fusion/config/san_rafael/) — explicit
+        Blackfly intrinsics at 720×540, mapping-output solve cadence, its
+        own covariance calibration — must build a complete VilConfig whose
+        rig genuinely differs from the Carla one."""
+        cfg = C.load(str(REPO / "configs" / "san_rafael.yaml"))
+        vil = cfg.vil()
+        assert vil.vio.cam.width == 720 and vil.vio.cam.height == 540
+        assert vil.vio.cam.fx == pytest.approx(593.690871957)
+        assert vil.vio.cam.cy == pytest.approx(274.84471313)
+        lidar, vio = vil.fusion.sensors
+        # san_rafael solves on the LiDAR mapping stream too
+        # (fusion_params.yaml: optimize_after_odom true for BOTH).
+        assert lidar.optimize_after_odom and vio.optimize_after_odom
+        assert lidar.covariance_linear == pytest.approx(1e-6)
+        assert lidar.covariance_angular == pytest.approx(1e-7)
+        assert vio.covariance_linear == pytest.approx(1e-3)
+        assert cfg.imu.cov_bias_acc == pytest.approx(1e-3)
+        assert cfg.imu_topic == "/imu/lidar"
+
+    @pytest.mark.slow
+    def test_san_rafael_rig_end_to_end(self):
+        """`cli run --config configs/san_rafael.yaml` end to end: the
+        non-Carla-shaped rig (different resolution, intrinsics, solve
+        cadence, covariances) runs the full stack and converges — proving
+        the YAML surface isn't accidentally Carla-specific."""
+        r = subprocess.run(
+            [sys.executable, "-m", "vil_sensor_fusion_tpu.cli", "run",
+             "--scenario", "town", "--duration", "1.5",
+             "--config", str(REPO / "configs" / "san_rafael.yaml")],
+            cwd=REPO, capture_output=True, text=True, timeout=1500,
+            env={"PATH": "/usr/bin:/bin:/usr/local/bin", "HOME": "/root",
+                 "JAX_PLATFORMS": "cpu"})
+        assert r.returncode == 0, r.stderr[-2000:]
+        info = json.loads(r.stdout[r.stdout.index("{"):])
+        assert np.isfinite(info["fused_ate_rmse_m"])
+        assert info["events"] > 0
+
     @pytest.mark.slow
     def test_run_with_config_and_model_devices(self, tmp_path):
         """`cli run --config ... --model-devices 2`: the model-parallel ICP

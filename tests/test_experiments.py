@@ -47,3 +47,57 @@ def test_run_report_and_cache(tmp_path):
     assert float(cached["ate_fused"]) == s["ate_fused"]
     s2 = EX.report(cached, str(tmp_path / "reports2"))
     assert s2["auc"] == s["auc"]
+
+
+def test_default_grid_is_mid_drive_labeled():
+    """Every default-grid cell must carry within-run positive AND negative
+    labels (reference bag shape — VERDICT r4 next #2) at reference-length
+    durations; the smoke grid keeps the all-kinds fast tier."""
+    specs = EX.default_grid(seeds=(0, 1))
+    assert len(specs) == 4
+    assert {s.kind for s in specs} == {"tunnel", "field"}
+    assert all(s.duration >= 60.0 for s in specs)
+    smoke = EX.smoke_grid(seeds=(0,))
+    assert {s.kind for s in smoke} == {"town", "corridor", "tunnel",
+                                       "arena"}
+
+
+def test_metric_polarity_and_notes():
+    """condition_number and the divergence family are high=degenerate
+    (the r4 AUC-0.0 root cause); information-volume metrics stay
+    low=degenerate; every below-chance AUC gets a one-line note."""
+    assert not EX._low_is_degenerate("condition_number")
+    assert not EX._low_is_degenerate("condition_number_rot")
+    assert not EX._low_is_degenerate("jensen_bregman")
+    assert not EX._low_is_degenerate("kullback_leibler_0cov_rot")
+    assert EX._low_is_degenerate("d_opt")
+    assert EX._low_is_degenerate("gate_rot_logdet")
+    assert EX._low_is_degenerate("dist_slope_rz")
+    # rot-metric routing: BOTH gate rot series and the rot dist slopes.
+    assert EX._is_rot_metric("gate_rot_logdet_raw")
+    assert EX._is_rot_metric("dist_slope_rx")
+    assert not EX._is_rot_metric("dist_slope_tx")
+    assert not EX._is_rot_metric("gate_trans_logdet_raw")
+    assert EX._auc_note("d_opt", 0.9) is None
+    assert "transition detector" in EX._auc_note("d_opt_ratio", 0.4)
+    assert EX._auc_note("a_opt", 0.3)
+
+
+@pytest.mark.slow
+def test_field_scenario_mid_drive_rot_labels(tmp_path):
+    """The field cell (open-plane middle third): per-run ROC exists for
+    BOTH label types, and the gate log-dets separate the labeled window
+    from the built-up sections."""
+    spec = EX.ExperimentSpec(kind="field", duration=12.0, seed=0,
+                             emit_dists=False)
+    res = EX.run_experiment(spec, str(tmp_path / "cache"))
+    windows = [tuple(w) for w in list(res["degen_windows"])]
+    assert windows and windows[0][2] == "both"
+    a, b = float(windows[0][0]), float(windows[0][1])
+    assert 0.0 < a < b < spec.duration
+    s = EX.report(res, str(tmp_path / "rep"))
+    assert "gate_trans_logdet" in s["auc"]
+    assert "gate_rot_logdet" in s["auc"]
+    # The mid-drive open plane must be detectable well above chance.
+    assert s["auc"]["gate_trans_logdet"] > 0.65, s["auc"]
+    assert s["auc"]["gate_rot_logdet"] > 0.65, s["auc"]

@@ -150,6 +150,56 @@ class TestEndToEnd:
         assert ate_ungated > 10.0 * ate_gated
 
     @pytest.mark.slow
+    @pytest.mark.slow   # three engine-scan compiles (~5 min CPU)
+    def test_twist_covariance_literal_mode(self):
+        """use_odom_covariance must select the timeline's TWIST channel
+        verbatim (SensorManagerRos.cpp:84-99: poseDiff carries
+        after->twist.covariance, :154-156) — distinct from both the
+        constant-diag default and the pose-covariance adaptive mode."""
+        traj = syn.circle(radius=10.0, period=16.0)
+        imu, vio, lid = _streams(traj)
+        # Pose covs deliberately HUGE, twist covs tight: only the twist
+        # selection can produce an accurate run.
+        big = np.tile(np.eye(6) * 100.0, (len(vio.times), 1, 1))
+        tight = np.tile(np.eye(6) * 1e-4, (len(vio.times), 1, 1))
+        big_l = np.tile(np.eye(6) * 100.0, (len(lid.times), 1, 1))
+        tight_l = np.tile(np.eye(6) * 1e-4, (len(lid.times), 1, 1))
+        tl = fu.merge_timeline([
+            (np.asarray(vio.times), np.asarray(vio.poses), big,
+             np.ones(len(vio.times)), tight),
+            (np.asarray(lid.times), np.asarray(lid.poses), big_l,
+             np.ones(len(lid.times)), tight_l),
+        ])
+        gt = syn.sample_ground_truth(traj, tl.times)
+        t0 = jnp.zeros((), DTYPE)
+
+        def run_mode(**flags):
+            cfg = _config()
+            cfg = cfg._replace(sensors=tuple(
+                s._replace(**flags) for s in cfg.sensors))
+            es = fu.init(cfg, traj.pose_fn(t0), traj.vel_fn(t0),
+                         jnp.zeros(6, DTYPE), t0)
+            _, out = jax.jit(lambda e, t: fu.run(
+                cfg, e, t, imu.times, imu.accel, imu.gyro))(es, tl)
+            err = np.linalg.norm(np.asarray(out.poses)[:, 4:7]
+                                 - np.asarray(gt.poses)[:, 4:7], axis=-1)
+            assert np.isfinite(err).all()
+            return err
+
+        err_twist = run_mode(use_odom_covariance=True)
+        err_pose = run_mode(use_pose_covariance=True)
+        err_diag = run_mode()
+        # Twist mode (tight, correct noise) tracks GT closely...
+        assert err_twist.max() < 0.05, err_twist.max()
+        # ...the pose-cov mode consumed the HUGE pose covariance: the
+        # between factors carry ~no information, so it must drift
+        # measurably more than the twist mode.
+        assert err_pose.max() > 2.0 * err_twist.max(), \
+            (err_pose.max(), err_twist.max())
+        # And the three selections are genuinely distinct paths.
+        assert abs(err_pose.max() - err_diag.max()) > 1e-6 or \
+            abs(err_twist.max() - err_diag.max()) > 1e-6
+
     def test_max_time_skip_resets_chain(self):
         """Events separated by more than max_time_skip must not produce a
         between-factor (SensorManagerRos.cpp:47) — fusion still works off

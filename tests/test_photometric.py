@@ -133,7 +133,7 @@ class TestPhotometricUpdate:
         s, tmpl, tok, en = self._true_state_with_landmarks(
             vio_cfg, fcfg, sc, pyr0, (cu[0], cs[0], cd[0]))
         assert float(jnp.sum(en)) >= vio_cfg.num_landmarks * 0.6
-        s1 = PH.photometric_update(vio_cfg, s, pyr0, tmpl, tok)
+        s1, _chi2 = PH.photometric_update(vio_cfg, s, pyr0, tmpl, tok)
         dp = float(jnp.linalg.norm(
             lie.pose_trans(s1.pose) - lie.pose_trans(s.pose)))
         assert dp < 0.02, f"update moved true state by {dp} m"
@@ -168,7 +168,7 @@ class TestPhotometricUpdate:
 
         err0 = rot_err(s_pert)
         cfg_it = vio_cfg._replace(update_iters=6)
-        s1 = PH.photometric_update(cfg_it, s_pert, pyr0, tmpl, tok)
+        s1, _chi2 = PH.photometric_update(cfg_it, s_pert, pyr0, tmpl, tok)
         err1 = rot_err(s1)
         assert err1 < 0.35 * err0, f"photometric update {err0} -> {err1}"
 

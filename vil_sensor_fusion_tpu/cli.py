@@ -258,8 +258,9 @@ def cmd_fuse_bag(args):
         for name, spec in zip(sys_cfg.sensor_topics, sys_cfg.sensor_specs):
             topic = sys_cfg.sensor_topics[name]
             t, p, pc, tc = bag.read_odometry(topic)
-            cov = tc if spec.use_odom_covariance else pc
-            sources.append((t, p, cov, np.ones(len(t))))
+            # Both channels ride the timeline; the engine selects per the
+            # spec (use_odom_covariance → twist, SensorManagerRos.cpp:84-99).
+            sources.append((t, p, pc, np.ones(len(t)), tc))
     tl = fu.merge_timeline(sources)
     tl = jax.tree_util.tree_map(
         lambda x: x.astype(dtype)
@@ -285,8 +286,17 @@ def cmd_fuse_bag(args):
 def cmd_experiments(args):
     from .eval import experiments as EX
 
-    specs = EX.default_grid(seeds=tuple(range(args.seeds)),
-                            duration=args.duration)
+    grid = EX.smoke_grid if args.smoke else EX.default_grid
+    duration = args.duration if args.duration is not None else (
+        3.0 if args.smoke else 60.0)
+    specs = grid(seeds=tuple(range(args.seeds)), duration=duration)
+    if args.long_row:
+        # One reference-length labeled drive (the 5:45 bag shape,
+        # sample_bags/README.md) joins the grid so the aggregate ROC/ATE
+        # carries a reference-duration row.
+        specs = list(specs) + [EX.ExperimentSpec(kind="tunnel",
+                                                 duration=args.long_row,
+                                                 seed=0)]
     summaries = EX.run_and_report(specs, args.cache_dir, args.report_dir)
     print(json.dumps(summaries, indent=2))
 
@@ -359,11 +369,19 @@ def main(argv=None):
 
     pe = sub.add_parser(
         "experiments",
-        help="batch {town,corridor,tunnel} x seeds grid with cached "
-             "results and per-run reports (auto_experiments +"
-             " make_prettier_graphs capability)")
+        help="batch {tunnel,field} x seeds grid (reference-shaped "
+             "mid-drive degeneracy, >=60 s cells) with cached results and "
+             "per-run reports (auto_experiments + make_prettier_graphs "
+             "capability); --smoke for the fast 3 s "
+             "{town,corridor,tunnel,arena} tier")
     pe.add_argument("--seeds", type=int, default=2)
-    pe.add_argument("--duration", type=float, default=3.0)
+    pe.add_argument("--duration", type=float, default=None,
+                    help="seconds per cell (default 60; 3 with --smoke)")
+    pe.add_argument("--smoke", action="store_true",
+                    help="fast smoke grid (3 s cells, all scenario kinds)")
+    pe.add_argument("--long-row", type=float, default=None, metavar="SECS",
+                    help="append one reference-length tunnel drive "
+                         "(e.g. 345 for the 5:45 bag shape)")
     pe.add_argument("--cache-dir", default="experiment_cache")
     pe.add_argument("--report-dir", default="experiment_reports")
     pe.set_defaults(fn=cmd_experiments)

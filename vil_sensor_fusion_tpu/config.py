@@ -68,6 +68,7 @@ def sensor_spec_from_dict(name: str, d: dict) -> SensorSpec:
     return SensorSpec(
         name=name,
         use_odom_covariance=bool(d.get("use_odom_covariance", False)),
+        use_pose_covariance=bool(d.get("use_pose_covariance", False)),
         covariance_linear=float(d.get("covariance_linear", 0.1)),
         covariance_angular=float(d.get("covariance_angular", 0.1)),
         optimize_after_odom=bool(d.get("optimize_after_odom", False)),
@@ -286,7 +287,15 @@ class SystemConfig:
         gtsam_fusion/config/{carla,san_rafael}/)."""
         from .fusion import vil as VIL
 
-        return VIL.VilConfig(vio=self.vio, lidar=self.lidar, gate=self.gate,
+        vio = self.vio
+        fe = self.frontend
+        if vio.photo_levels > fe.pyramid_levels:
+            raise ValueError(
+                f"vio.photo_levels={vio.photo_levels} exceeds "
+                f"frontend.pyramid_levels={fe.pyramid_levels}: the direct "
+                f"photometric update samples the tracker's pyramid and "
+                f"cannot reach deeper levels than it builds")
+        return VIL.VilConfig(vio=vio, lidar=self.lidar, gate=self.gate,
                              fusion=self.fusion)
 
 

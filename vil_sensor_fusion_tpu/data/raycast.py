@@ -102,6 +102,29 @@ def road_world(length: float = 240.0, n_boxes: int | None = None,
     return World(plane_n=n, plane_d=d, box_min=bmin, box_max=bmax)
 
 
+def field_world(x0: float, x1: float, length: float, seed: int = 0,
+                dtype=jnp.float32) -> World:
+    """Road-lined drive with an OPEN FIELD spanning x ∈ [x0, x1]: buildings
+    along the road outside, bare ground plane inside. Driving through
+    produces well-conditioned → degenerate → well-conditioned, where the
+    degenerate section starves BOTH yaw and x/y translation (the ground
+    plane constrains only z/roll/pitch) — the structure of the reference's
+    plane/open-road bags, which are labeled rot AND trans degenerate
+    (SanRafael 35-85 s appears in both DEGEN_ROT and DEGEN_TRANS,
+    make_prettier_graphs.py:46-120)."""
+    import numpy as np
+    base = road_world(length=length, seed=seed, dtype=dtype)
+    bmin = np.asarray(base.box_min).copy()
+    bmax = np.asarray(base.box_max).copy()
+    bad = (bmax[:, 0] > x0) & (bmin[:, 0] < x1)
+    # Keep static shapes: sink intruding buildings far below ground.
+    bmin[bad, 2] = -100.0
+    bmax[bad, 2] = -99.0
+    return World(plane_n=base.plane_n, plane_d=base.plane_d,
+                 box_min=jnp.asarray(bmin, dtype),
+                 box_max=jnp.asarray(bmax, dtype))
+
+
 def arena_world(radius: float = 9.0, faces: int = 96,
                 dtype=jnp.float32) -> World:
     """Ground plane + a near-circular wall (``faces``-gon prism) around the

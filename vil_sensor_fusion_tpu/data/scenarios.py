@@ -117,6 +117,7 @@ def build(
     if vio_cfg is None:
         vio_cfg = V.VioConfig()
     degen_windows = ()
+    drive_speed = 4.0               # for sizing the VIO landmark field
     if kind == "corridor":
         world = rc.corridor_world(width=8.0, height=5.0, dtype=dtype)
         traj = _corridor_traj()
@@ -130,10 +131,33 @@ def build(
         traj = _spin_traj()
         lm_extent, lm_height = 12.0, (0.5, 4.5)
         degen_windows = ((0.0, duration, "rot"),)
+        drive_speed = 0.0
     elif kind == "town":
         world = rc.town_world(n_boxes=28, seed=seed, dtype=dtype)
         traj = _town_traj()
         lm_extent, lm_height = 40.0, (0.5, 10.0)
+    elif kind == "field":
+        # Road drive whose middle third is OPEN FIELD (ground plane only):
+        # yaw AND x/y starve together — the reference's plane/open-road bag
+        # shape, labeled in both DEGEN_ROT and DEGEN_TRANS (SanRafael
+        # 35-85 s, make_prettier_graphs.py:46-120). Faster drive than the
+        # tunnel so the field section outruns the LiDAR's 120 m range and
+        # the portal buildings actually leave the scan mid-section.
+        speed = 8.0
+        drive_speed = speed
+        length = speed * duration
+        x0, x1 = length / 3.0, length * 2.0 / 3.0
+        world = rc.field_world(x0=x0, x1=x1, length=length, seed=seed,
+                               dtype=dtype)
+        traj = _town_traj(speed=speed)
+        lm_extent, lm_height = 40.0, (0.5, 10.0)
+        # Label only where the nearest roadside buildings are ≥ ~25 m away
+        # (portal structures still in the scan keep the Hessian partially
+        # conditioned — same portal effect the reference's hand labels
+        # absorb with interior margins).
+        margin = min(25.0 / speed, (x1 - x0) / speed / 2.0)
+        degen_windows = ((x0 / speed + margin, x1 / speed - margin,
+                          "both"),)
     elif kind == "tunnel":
         # Town drive that passes through a tunnel in the middle third —
         # the labeled-window bag structure ('Tunnel 25-35 s').
@@ -211,9 +235,17 @@ def build(
             sw_msk.astype(dtype), imu_w, vio_cfg.num_landmarks)
     else:
         # Synthetic GT feature tracks (exact projections, the fast path).
-        lms = V.synthetic.landmark_field(400, seed=seed + 1, extent=lm_extent,
+        # The field spans the WHOLE drive (constant landmark density per
+        # road meter) so reference-length cells (60-345 s) never starve the
+        # tracker — a ±extent blob centered mid-drive only covers ~4 s
+        # drives.
+        span = drive_speed * duration
+        n_lms = max(400, int(400 * (span / (2.0 * lm_extent) + 1.0)))
+        lms = V.synthetic.landmark_field(n_lms, seed=seed + 1,
+                                         extent=lm_extent,
                                          height=lm_height)
-        lms[:, 0] += duration * 2.0  # center along the drive
+        lms[:, 0] = np.random.default_rng(seed + 3).uniform(
+            -lm_extent, span + lm_extent, n_lms)
         frames = V.synthetic.make_frames(
             vio_cfg, poses_gt_vio, imu_w, lms, pixel_noise=0.5,
             depth_noise=0.05, seed=seed + 2)

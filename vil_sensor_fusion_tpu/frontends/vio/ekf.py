@@ -571,6 +571,27 @@ def init_landmark(
 
 
 @estimation_precision
+def twist_covariance(cfg: VioConfig, s: VioState) -> jnp.ndarray:
+    """6×6 twist covariance (v_body, ω_body) in nav_msgs order
+    (vx,vy,vz, wx,wy,wz) — the block the reference copies verbatim into the
+    between-factor noise when use_odom_covariance is set (poseDiff copies
+    after->twist.covariance, SensorManagerRos.cpp:154-156). Linear part:
+    the filter's world-frame velocity marginal rotated into the body frame
+    (nav_msgs twist is child-frame). Angular part: rate = gyro − b_g, so
+    the gyro white noise plus the current gyro-bias marginal."""
+    dtype = s.pose.dtype
+    q = lie.pose_quat(s.pose)
+    R = jax.vmap(lambda e: lie.quat_rotate(q, e))(
+        jnp.eye(3, dtype=dtype)).T            # columns = rotated basis
+    Pv = s.cov[6:9, 6:9]
+    Pv_body = R.T @ Pv @ R
+    Pw = s.cov[12:15, 12:15] + cfg.cov_gyro * jnp.eye(3, dtype=dtype)
+    out = jnp.zeros((6, 6), dtype)
+    out = out.at[:3, :3].set(Pv_body)
+    out = out.at[3:, 3:].set(Pw)
+    return out
+
+
 def pose_covariance(cfg: VioConfig, s: VioState) -> jnp.ndarray:
     """6×6 pose covariance in (trans, rot) order — the block the degeneracy
     metrics consume from /rovio/odometry (degeneracy_detection.py:82-113)."""

@@ -123,8 +123,13 @@ def photometric_update(
     pyr: tuple,                 # current frame's pyramid, L levels
     templates: jnp.ndarray,     # (M, L, P)
     tmpl_ok: jnp.ndarray,       # (M, L)
-) -> E.VioState:
+) -> tuple[E.VioState, jnp.ndarray]:
     """Iterated EKF update from direct multi-level patch intensity errors.
+
+    Returns ``(state, chi2_ok (M,))`` — the per-landmark χ² gate verdict of
+    the final iteration, so the pipeline can retire landmarks whose patch
+    persistently fails the gate (occlusion/appearance change; ROVIO retires
+    such features via its tracking-quality bounds).
 
     Measurement model per landmark j, level l, patch pixel i:
         z = template[j,l,i],  h(x) = I_l(π(x, l_j)/2^l + off_i)
@@ -138,6 +143,11 @@ def photometric_update(
     M = cfg.num_landmarks
     D = E._dim(cfg)
     L = cfg.photo_levels
+    if len(pyr) < L:
+        raise ValueError(
+            f"photo_levels={L} exceeds the provided pyramid depth "
+            f"{len(pyr)}; set VioConfig.photo_levels <= "
+            f"FrontendConfig.pyramid_levels")
     P = patch_dim(cfg)
     sig = cfg.photo_sigma
     s0 = s
@@ -185,22 +195,22 @@ def photometric_update(
         A = H * (w / sig)[:, None]
         b_vec = r * (w / sig)
         Q, Rt = jnp.linalg.qr(A, mode="reduced")
-        return Rt, Q.T @ b_vec, Q.T @ (A @ dx_i), dx_i
+        return Rt, Q.T @ b_vec, Q.T @ (A @ dx_i), dx_i, chi2_ok
 
     def one_iter(_, s_i):
-        Rt, c, Adx, _dx = measurement(s_i)
+        Rt, c, Adx, _dx, _g = measurement(s_i)
         S = Rt @ s0.cov @ Rt.T + jnp.eye(D, dtype=dtype)
         K = jnp.linalg.solve(S, Rt @ s0.cov).T
         return E._retract(cfg, s0, K @ (c + Adx))
 
     s_new = jax.lax.fori_loop(0, cfg.update_iters, one_iter, s)
 
-    Rt, _c, _adx, _dx = measurement(s_new)
+    Rt, _c, _adx, _dx, chi2_ok = measurement(s_new)
     S = Rt @ s0.cov @ Rt.T + jnp.eye(D, dtype=dtype)
     K = jnp.linalg.solve(S, Rt @ s0.cov).T
     I_KH = jnp.eye(D, dtype=dtype) - K @ Rt
     cov = I_KH @ s0.cov @ I_KH.T + K @ K.T
-    return s_new._replace(cov=0.5 * (cov + cov.T))
+    return s_new._replace(cov=0.5 * (cov + cov.T)), chi2_ok
 
 
 # ---------------------------------------------------------------------------
@@ -212,6 +222,16 @@ class PhotoState(NamedTuple):
     ekf: E.VioState
     templates: jnp.ndarray     # (M, L, P)
     tmpl_ok: jnp.ndarray       # (M, L)
+    # Consecutive χ²-gate failures per landmark. A landmark whose patch
+    # persistently fails the gate (occlusion, appearance change — templates
+    # are never refreshed) contributes zero information but would otherwise
+    # hold its slot forever; after PHOTO_MAX_FAIL consecutive failures the
+    # slot is retired so assign_candidates can refill it — the counterpart
+    # of ROVIO's tracking-quality feature retirement.
+    fail_count: jnp.ndarray    # (M,)
+
+
+PHOTO_MAX_FAIL = 3
 
 
 def init_photo(cfg: E.VioConfig, s: E.VioState) -> PhotoState:
@@ -219,7 +239,8 @@ def init_photo(cfg: E.VioConfig, s: E.VioState) -> PhotoState:
     dtype = s.pose.dtype
     return PhotoState(ekf=s,
                       templates=jnp.zeros((M, L, P), dtype),
-                      tmpl_ok=jnp.zeros((M, L), dtype))
+                      tmpl_ok=jnp.zeros((M, L), dtype),
+                      fail_count=jnp.zeros((M,), dtype))
 
 
 def step(
@@ -253,12 +274,18 @@ def step(
     if cfg.use_zero_velocity_update:
         s = E.zero_velocity_update(cfg, s, static)
 
-    s = photometric_update(cfg, s, pyr, ps.templates, ps.tmpl_ok)
+    s, chi2_ok = photometric_update(cfg, s, pyr, ps.templates, ps.tmpl_ok)
 
     # Landmark death: projection left the image (ROVIO drops features at
-    # the border); covariance keeps the slot's block until re-init.
+    # the border), or the patch failed the χ² gate PHOTO_MAX_FAIL frames in
+    # a row (occlusion/appearance change — the slot contributes nothing and
+    # must be freed for replenishment); covariance keeps the slot's block
+    # until re-init.
     uv_pred, vis = E._predict_pixels(cfg, s)
-    s = s._replace(lm_valid=s.lm_valid * vis.astype(dtype))
+    fail_count = jnp.where((chi2_ok > 0) | (s.lm_valid <= 0),
+                           0.0, ps.fail_count + 1.0).astype(dtype)
+    alive = (fail_count < PHOTO_MAX_FAIL).astype(dtype)
+    s = s._replace(lm_valid=s.lm_valid * vis.astype(dtype) * alive)
 
     if cfg.use_depth_update:
         d = F.depth_at(fcfg, proj, uv_pred) * s.lm_valid
@@ -280,10 +307,13 @@ def step(
     en = new_enable[:, None, None]
     templates = jnp.where(en > 0, tmpl_new, ps.templates)
     tmpl_ok = jnp.where(new_enable[:, None] > 0, tok_new, ps.tmpl_ok)
+    fail_count = jnp.where(new_enable > 0, 0.0, fail_count)
 
     out = VioOutput(pose=s.pose, vel=s.vel,
-                    cov=E.pose_covariance(cfg, s))
-    return PhotoState(ekf=s, templates=templates, tmpl_ok=tmpl_ok), out
+                    cov=E.pose_covariance(cfg, s),
+                    twist_cov=E.twist_covariance(cfg, s))
+    return PhotoState(ekf=s, templates=templates, tmpl_ok=tmpl_ok,
+                      fail_count=fail_count), out
 
 
 def run(

@@ -38,6 +38,10 @@ class VioOutput(NamedTuple):
     pose: jnp.ndarray         # (7,)
     vel: jnp.ndarray          # (3,)
     cov: jnp.ndarray          # (6, 6) pose covariance, (trans, rot) order
+    # Twist covariance (v_body, ω_body) — what the reference's
+    # use_odom_covariance copies into the between noise
+    # (SensorManagerRos.cpp:154-156); see ekf.twist_covariance.
+    twist_cov: jnp.ndarray    # (6, 6)
 
 
 def step(
@@ -68,7 +72,8 @@ def step(
 
     s = jax.lax.fori_loop(0, cfg.num_landmarks, repl, s)
     return s, VioOutput(
-        pose=s.pose, vel=s.vel, cov=E.pose_covariance(cfg, s))
+        pose=s.pose, vel=s.vel, cov=E.pose_covariance(cfg, s),
+        twist_cov=E.twist_covariance(cfg, s))
 
 
 def run(

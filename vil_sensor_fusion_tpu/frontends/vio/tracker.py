@@ -27,6 +27,10 @@ def _shift_conv1d(img: jnp.ndarray, taps, axis: int) -> jnp.ndarray:
     systolic array (measured ~50× off HBM speed-of-light at 800×600).
     The identical arithmetic as `taps`-many shifted adds is pure VPU
     elementwise work that XLA fuses into one bandwidth-bound pass."""
+    if len(taps) % 2 != 1:
+        # Even-length taps would cover [j-w/2, j+w/2-1] — a one-pixel shift
+        # from XLA's SAME-padding convention; all callers use odd windows.
+        raise ValueError(f"_shift_conv1d requires odd tap count, got {len(taps)}")
     r = len(taps) // 2
     pad = [(0, 0)] * img.ndim
     pad[axis] = (r, r)

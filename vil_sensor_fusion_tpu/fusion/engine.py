@@ -52,8 +52,18 @@ class SensorSpec(NamedTuple):
     registry (config/carla/fusion_params.yaml:1-20)."""
 
     name: str = "odom"
+    # Literal reference semantics: copy the odometry message's TWIST
+    # covariance into the between-factor noise (poseDiff copies
+    # after->twist.covariance, SensorManagerRos.cpp:154-156, consumed as
+    # Gaussian::Covariance at :84-99). The timeline's ``odo_twist_cov``
+    # channel carries it; nav_msgs order (vx,vy,vz, wx,wy,wz) aligns with
+    # our (rho, theta) tangent order, so the copy is verbatim here too.
     use_odom_covariance: bool = False
-    covariance_linear: float = 0.1      # used iff not use_odom_covariance
+    # Adaptive variant (NOT in the reference): use the source's POSE
+    # covariance — which grows with drift — so a drifting stream is
+    # progressively downweighted (SCALING.md adaptive-noise experiment).
+    use_pose_covariance: bool = False
+    covariance_linear: float = 0.1      # used iff neither flag above
     covariance_angular: float = 0.1
     optimize_after_odom: bool = True
     max_time_skip: float = 0.1
@@ -92,6 +102,9 @@ class Timeline(NamedTuple):
     odo_cov: jnp.ndarray     # (E, 6, 6) relative-pose covariance (rho, theta)
     keep: jnp.ndarray        # (E,) degeneracy gate: 1 = arrived, 0 = dropped
     valid: jnp.ndarray       # (E,) padding mask
+    # Twist covariance of the odometry message (vx,vy,vz, wx,wy,wz — the
+    # reference's use_odom_covariance source, SensorManagerRos.cpp:154-156).
+    odo_twist_cov: jnp.ndarray  # (E, 6, 6)
 
 
 class EngineState(NamedTuple):
@@ -116,24 +129,29 @@ class FusedOutput(NamedTuple):
 
 
 def merge_timeline(
-    sources: Sequence[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
+    sources: Sequence[tuple],
 ) -> Timeline:
     """Host-side timeline construction (numpy — one-time, pre-jit).
 
     Args:
       sources: per sensor, a tuple ``(times (M,), poses (M,7), covs (M,6,6),
-        keep (M,))``.
+        keep (M,))`` with an optional fifth element ``twist_covs (M,6,6)``
+        (the nav_msgs twist covariance the reference's use_odom_covariance
+        consumes); when omitted the pose covariance is reused as the twist
+        channel.
 
     Returns a time-sorted :class:`Timeline`.
     """
-    ts, sid, ps, cs, ks = [], [], [], [], []
-    for i, (t, p, c, k) in enumerate(sources):
+    ts, sid, ps, cs, ks, tw = [], [], [], [], [], []
+    for i, src in enumerate(sources):
+        t, p, c, k = src[:4]
         t = np.asarray(t)
         ts.append(t)
         sid.append(np.full(t.shape, i, np.int32))
         ps.append(np.asarray(p))
         cs.append(np.asarray(c))
         ks.append(np.asarray(k))
+        tw.append(np.asarray(src[4]) if len(src) > 4 else np.asarray(c))
     t = np.concatenate(ts)
     order = np.argsort(t, kind="stable")
     return Timeline(
@@ -143,6 +161,7 @@ def merge_timeline(
         odo_cov=jnp.asarray(np.concatenate(cs)[order]),
         keep=jnp.asarray(np.concatenate(ks)[order]),
         valid=jnp.ones_like(jnp.asarray(t[order])),
+        odo_twist_cov=jnp.asarray(np.concatenate(tw)[order]),
     )
 
 
@@ -169,6 +188,7 @@ def _spec_arrays(cfg: FusionConfig, dtype):
     sp = cfg.sensors
     return dict(
         use_odom_cov=jnp.asarray([float(s.use_odom_covariance) for s in sp], dtype),
+        use_pose_cov=jnp.asarray([float(s.use_pose_covariance) for s in sp], dtype),
         cov_lin=jnp.asarray([s.covariance_linear for s in sp], dtype),
         cov_ang=jnp.asarray([s.covariance_angular for s in sp], dtype),
         solve_after=jnp.asarray([float(s.optimize_after_odom) for s in sp], dtype),
@@ -216,7 +236,13 @@ def step(
         jnp.full((3,), 1.0, dtype) * spec["cov_lin"][sid],
         jnp.full((3,), 1.0, dtype) * spec["cov_ang"][sid],
     ])
-    cov = jnp.where(spec["use_odom_cov"][sid] > 0.5, ev.odo_cov, jnp.diag(diag))
+    # Noise selection (SensorManagerRos.cpp:84-99): use_odom_covariance
+    # copies the message's TWIST covariance verbatim; the pose-covariance
+    # variant is this framework's adaptive extension; else constant diag.
+    cov = jnp.where(
+        spec["use_odom_cov"][sid] > 0.5, ev.odo_twist_cov,
+        jnp.where(spec["use_pose_cov"][sid] > 0.5, ev.odo_cov,
+                  jnp.diag(diag)))
 
     gap_ok = (ev.times - es.last_time[sid]) < spec["max_skip"][sid]
     arrived = ev.keep * ev.valid

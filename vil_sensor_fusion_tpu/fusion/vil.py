@@ -62,6 +62,22 @@ class VilResult(NamedTuple):
     gate: DG.GateResult           # over lidar sweeps
 
 
+class PhotoInputs(NamedTuple):
+    """Precomputed per-frame inputs for the direct photometric VIO path
+    (``VioConfig.use_photometric=True``): the batched outputs of
+    frontend.precompute_frames plus the per-frame IMU windows. There is no
+    KLT tracking stage — alignment happens inside the iterated EKF update
+    (frontends.vio.photometric)."""
+
+    fe_cfg: object                # frontend.FrontendConfig (static)
+    pyrs: tuple                   # L × (T, h_l, w_l)
+    cand_uv: jnp.ndarray          # (T, C, 2)
+    cand_score: jnp.ndarray       # (T, C)
+    cand_depth: jnp.ndarray       # (T, C)
+    projs: jnp.ndarray            # (T, P_pts, 3)
+    imu_windows: tuple            # (accel (T,N,3), gyro (T,N,3), dts (T,N))
+
+
 def run_vil(
     cfg: VilConfig,
     # IMU stream (for preintegration in the fusion back-end):
@@ -79,6 +95,10 @@ def run_vil(
     # runs sharded over the mesh's model axis (psum-reduced normal equations
     # per GN iteration, parallel.ops.make_sharded_register).
     mesh=None,
+    # Direct photometric VIO (cfg.vio.use_photometric): when provided,
+    # stage 1 runs frontends.vio.photometric.run over these precomputed
+    # frame inputs instead of the geometric KLT+reprojection pipeline.
+    photo_inputs: "PhotoInputs | None" = None,
 ) -> tuple[E.EngineState, VilResult]:
     """Run the full system over one sequence. Front-ends run first (they are
     causal scans); their odometry streams then drive the fusion engine —
@@ -92,8 +112,23 @@ def run_vil(
     ``mesh``: pass a jax.sharding.Mesh with a sized "model" axis to spread
     ONE sequence's ICP over multiple chips (`cli run --model-devices N`)."""
     # --- Stage 1: VIO ------------------------------------------------------
-    _, vio_out = jax.jit(lambda s, f: V.run(cfg.vio, s, f))(
-        vio_state, vio_frames)
+    if cfg.vio.use_photometric:
+        if photo_inputs is None:
+            raise ValueError(
+                "cfg.vio.use_photometric=True requires photo_inputs "
+                "(fusion.vil.PhotoInputs — see build_photo_inputs_from_bag)")
+        from ..frontends.vio import photometric as PH
+
+        ps0 = PH.init_photo(cfg.vio, vio_state)
+        _, vio_out = jax.jit(
+            lambda ps, py, cu, cs, cd, pr, iw: PH.run(
+                cfg.vio, photo_inputs.fe_cfg, ps, py, cu, cs, cd, pr, iw)
+        )(ps0, photo_inputs.pyrs, photo_inputs.cand_uv,
+          photo_inputs.cand_score, photo_inputs.cand_depth,
+          photo_inputs.projs, photo_inputs.imu_windows)
+    else:
+        _, vio_out = jax.jit(lambda s, f: V.run(cfg.vio, s, f))(
+            vio_state, vio_frames)
 
     # --- Stage 2: LiDAR odometry -------------------------------------------
     register_fn = None
@@ -124,11 +159,21 @@ def run_vil(
 
     # --- Stage 4: fusion ----------------------------------------------------
     dtype = engine_state.smoother.states.poses.dtype
+    # Twist covariance channels (the reference's use_odom_covariance source,
+    # SensorManagerRos.cpp:154-156): the EKF publishes its own
+    # (ekf.twist_covariance); the LiDAR odometry's twist is the pose delta
+    # over the sweep period, so its covariance is the registration
+    # covariance scaled by 1/Δt².
+    lt = np.asarray(lidar_times)
+    dt_l = float(np.median(np.diff(lt))) if len(lt) > 1 else 0.1
+    lidar_twist = np.asarray(lidar_out.cov) / max(dt_l, 1e-3) ** 2
     tl = E.merge_timeline([
         (np.asarray(vio_times), np.asarray(vio_out.pose),
-         np.asarray(vio_out.cov), np.ones(len(vio_times))),
-        (np.asarray(lidar_times), np.asarray(lidar_out.pose),
-         np.asarray(lidar_out.cov), np.asarray(gate_res.keep)),
+         np.asarray(vio_out.cov), np.ones(len(vio_times)),
+         np.asarray(vio_out.twist_cov)),
+        (lt, np.asarray(lidar_out.pose),
+         np.asarray(lidar_out.cov), np.asarray(gate_res.keep),
+         lidar_twist),
     ])
     tl = jax.tree_util.tree_map(
         lambda x: x.astype(dtype)
@@ -144,22 +189,17 @@ def run_vil(
                          lidar_out=lidar_out, gate=gate_res)
 
 
-def build_vio_frames_from_bag(
-    fe_cfg,
+def _bag_frame_streams(
     ba,                            # data.ingest.BagArrays
     pose_ic: jnp.ndarray,          # (7,) imu_T_camera
-    num_slots: int,
-    sweep_stride: int = 4,
-    dtype=jnp.float32,
+    sweep_stride: int,
+    dtype,
 ):
-    """Raw bag streams → VioFrameInput via the image tracker frontend.
-
-    Feature depth comes from the most recent sweep moved into the camera by
-    the rig extrinsics alone (LiDAR at the IMU): the ≤1-sweep-period motion
-    between sweep and frame is absorbed by the coarse depth grid — the same
-    tolerance ROVIO's useDepthFromLiDAR association operates under
-    (rovio.cfg:132-138)."""
-    from ..frontends.vio import frontend as F
+    """Shared bag→frame-stream prep: per-frame IMU windows and the most
+    recent sweep's points moved into the camera frame by the rig extrinsics
+    alone (LiDAR at the IMU): the ≤1-sweep-period motion between sweep and
+    frame is absorbed by the coarse depth association — the same tolerance
+    ROVIO's useDepthFromLiDAR operates under (rovio.cfg:132-138)."""
     from ..data import ingest as IG
 
     imu_w = IG.imu_windows_from_stream(
@@ -174,9 +214,48 @@ def build_vio_frames_from_bag(
     pose_ci = lie.pose_inverse(jnp.asarray(pose_ic, dtype))
     pts_cam = lie.quat_rotate(lie.pose_quat(pose_ci)[None, None], xyz) \
         + lie.pose_trans(pose_ci)[None, None]
+    return imu_w, pts_cam.astype(dtype), msk.astype(dtype)
+
+
+def build_vio_frames_from_bag(
+    fe_cfg,
+    ba,                            # data.ingest.BagArrays
+    pose_ic: jnp.ndarray,          # (7,) imu_T_camera
+    num_slots: int,
+    sweep_stride: int = 4,
+    dtype=jnp.float32,
+):
+    """Raw bag streams → VioFrameInput via the image tracker frontend."""
+    from ..frontends.vio import frontend as F
+
+    imu_w, pts_cam, msk = _bag_frame_streams(ba, pose_ic, sweep_stride, dtype)
     return F.build_frames(
-        fe_cfg, jnp.asarray(ba.images, dtype), pts_cam.astype(dtype),
-        msk.astype(dtype), imu_w, num_slots)
+        fe_cfg, jnp.asarray(ba.images, dtype), pts_cam, msk, imu_w, num_slots)
+
+
+def build_photo_inputs_from_bag(
+    fe_cfg,
+    ba,                            # data.ingest.BagArrays
+    pose_ic: jnp.ndarray,          # (7,) imu_T_camera
+    sweep_stride: int = 4,
+    dtype=jnp.float32,
+) -> PhotoInputs:
+    """Raw bag streams → PhotoInputs for the direct photometric pipeline:
+    the batched (non-sequential) half of the frontend only — pyramids,
+    Shi-Tomasi candidates, projected sweeps, candidate depths — since the
+    photometric update subsumes tracking. Reuses build_frames' separately
+    compiled batched programs (same TPU compile-shape constraints)."""
+    from ..frontends.vio import frontend as F
+
+    imu_w, pts_cam, msk = _bag_frame_streams(ba, pose_ic, sweep_stride, dtype)
+    images = jnp.asarray(ba.images, dtype)
+    p_pyr, p_cand, _ = F._frontend_programs(fe_cfg, 1)
+    pyrs = jax.block_until_ready(p_pyr(images))
+    cand_uv, cand_score, cand_depth, projs = jax.block_until_ready(
+        p_cand(images, pts_cam, msk))
+    return PhotoInputs(fe_cfg=fe_cfg, pyrs=pyrs, cand_uv=cand_uv,
+                       cand_score=cand_score, cand_depth=cand_depth,
+                       projs=projs, imu_windows=imu_w)
 
 
 def run_vil_from_bag(
@@ -204,9 +283,15 @@ def run_vil_from_bag(
     fe_cfg = fe_cfg or F.FrontendConfig(cam=cfg.vio.cam)
     ba = IG.load_bag(path, dtype=dtype, **(topics or {}))
 
-    frames = build_vio_frames_from_bag(
-        fe_cfg, ba, pose_ic, cfg.vio.num_landmarks,
-        sweep_stride=sweep_stride, dtype=dtype)
+    photo_inputs = None
+    frames = None
+    if cfg.vio.use_photometric:
+        photo_inputs = build_photo_inputs_from_bag(
+            fe_cfg, ba, pose_ic, sweep_stride=sweep_stride, dtype=dtype)
+    else:
+        frames = build_vio_frames_from_bag(
+            fe_cfg, ba, pose_ic, cfg.vio.num_landmarks,
+            sweep_stride=sweep_stride, dtype=dtype)
 
     # Initial state: GT odometry if recorded, else identity at rest (the
     # reference hardcodes identity priors — GraphManager.cpp:20-35).
@@ -240,5 +325,6 @@ def run_vil_from_bag(
         lidar_guess_from_vio_idx=guess_idx,
         engine_state=es,
         mesh=mesh,
+        photo_inputs=photo_inputs,
     )
     return es, res, ba

@@ -121,12 +121,16 @@ def solve_batch(
     bsid = np.array([b[2] for b in btw], np.int64)
     odo_pose = jnp.asarray(np.asarray(tl.odo_pose, np.float64)[bev], f64)
     odo_cov_tl = np.asarray(tl.odo_cov, np.float64)[bev]
-    # Covariance selection (engine.step): source's fixed diag unless
-    # use_odom_covariance.
+    odo_twist_tl = np.asarray(tl.odo_twist_cov, np.float64)[bev]
+    # Covariance selection (engine.step): twist channel for the literal
+    # use_odom_covariance mode (SensorManagerRos.cpp:84-99), pose channel
+    # for the adaptive use_pose_covariance extension, else fixed diag.
     covs = []
     for k in range(len(btw)):
         sp = cfg.sensors[bsid[k]]
         if sp.use_odom_covariance:
+            covs.append(odo_twist_tl[k])
+        elif sp.use_pose_covariance:
             covs.append(odo_cov_tl[k])
         else:
             covs.append(np.diag([sp.covariance_linear] * 3

@@ -427,10 +427,22 @@ def add_keyframe(
     x = s.states
 
     # ---- 1. Linearize the Markov blanket of slot 0 ------------------------
-    # Prior (always touches slot 0) at current estimates:
+    # The elimination is carried out in the PRIOR's frozen coordinates
+    # (first-estimates / FEJ policy). The stored prior quadratic
+    #   E(δ) = g·δ + ½ δᵀHδ,  δ = x' ⊟ prior_lin
+    # is used AS IS — never re-centered. The blanket factors are linearized
+    # at the current estimates x (full relinearization, matching the
+    # reference's iSAM2 relinearizeSkip=1, GraphManager.cpp:39-41) and then
+    # expressed in the prior's coordinates via the J≈I chart change
+    #   r(x') ≈ r(x) + A·(δ' − d0),   δ' = x' ⊟ prior_lin,  d0 = x ⊟ prior_lin
+    # i.e. H_f unchanged, g_f = AᵀΛr − H_f·d0. Each factor pays this O(‖d0‖²)
+    # manifold approximation exactly ONCE — at its eviction. The previous
+    # scheme instead re-centered the whole accumulated prior at the shifted
+    # current estimates every slide (g ← g + H·d0, lin ← x), compounding the
+    # chart-change error across the dense prior once per keyframe; measured
+    # effect: ATE-vs-batch grew with the window (0.024 m @ W=4 → 0.055 m
+    # @ W=10, ORACLE.json r4) — the opposite of correct marginalization.
     d0 = F.local_window(s.prior_lin, x).reshape(-1)
-    H_m = s.prior_H
-    b_m = s.prior_g + s.prior_H @ d0
     # IMU factor slot 0 only:
     imu_mask = jnp.zeros((W - 1,), dtype).at[0].set(1.0)
     # Between factors with i == 0:
@@ -443,8 +455,8 @@ def add_keyframe(
         btw_mask=btw_mask,
         una_mask=una_mask,
     )
-    H_m = H_m + H_t
-    b_m = b_m + b_t
+    H_m = s.prior_H + H_t
+    b_m = s.prior_g + b_t - H_t @ d0
 
     # ---- 2. Schur-eliminate the first 15 rows/cols ------------------------
     Hmm = H_m[:STATE_DIM, :STATE_DIM]
@@ -482,9 +494,11 @@ def add_keyframe(
     prior_H_new = prior_H_new.at[: D - STATE_DIM, : D - STATE_DIM].set(S)
     prior_g_new = jnp.zeros((D,), dtype=dtype)
     prior_g_new = prior_g_new.at[: D - STATE_DIM].set(gs)
-    # Prior is linearized at the *current* estimates (shifted); the new slot
-    # has zero prior rows so its lin point is irrelevant.
-    prior_lin_new = shift_states(x, pose_new, vel_new, bias_prev)
+    # First-estimates policy: the surviving slots KEEP their frozen prior
+    # linearization points (the Schur result S/gs is expressed around them);
+    # only the brand-new slot gets its lin point set — to its IMU-predicted
+    # entry value, which is then frozen for its lifetime in the window.
+    prior_lin_new = shift_states(s.prior_lin, pose_new, vel_new, bias_prev)
 
     # IMU slots shift; evicted slot 0 is now inside the prior. The new last
     # slot is the just-preintegrated window.
