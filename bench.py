@@ -139,19 +139,22 @@ def main():
                           pose_ic=tuple(np.asarray(pose_ic)))
     fe_cfg = F.FrontendConfig(cam=cam, n_candidates=64, min_dist=24.0,
                               min_score=0.5)
-    # Iteration budgets: odometry 6 / mapping 4 — measured accuracy-neutral
-    # vs 8/6 on the town benchmark (error floor is set by the scene/
-    # undistortion, not iterations). fit_every=2 + final_refresh=False +
-    # eig_sweeps=4 is the TPU-throughput schedule (correspondences + the
-    # 6x6 eigenbasis refreshed every other GN step, stats on the last
-    # round's fits): 2.6x faster mapping registration, solution parity
-    # verified in test_lidar.py::test_fit_reuse_schedule_matches_full_refresh.
+    # Iteration budgets: odometry 4 / mapping 3, fit_every=2,
+    # final_refresh=False, eig_sweeps=3 — the r5 operating point from
+    # scripts/lidar_ablation.py (8 lanes x 40 sweeps, full VLP-16 grid):
+    # 814 ms -> ~585-600 ms per batched pass vs the r4 schedule with
+    # registration error UNCHANGED (mean 0.220 vs 0.226, max 0.337 vs
+    # 0.367). The dominant lever is eig_sweeps 4->3 (-29% alone): the 6x6
+    # Jacobi eigenbasis refresh was nearly half the stage; 3 sweeps
+    # already give the degeneracy projection machine-precision axes on
+    # these spectra. Solution parity for the reuse schedule is pinned by
+    # test_lidar.py::test_fit_reuse_schedule_matches_full_refresh.
     lidar_cfg = L.LidarOdomConfig(
-        icp=L.IcpConfig(iters=4, degen_eigval=5.0, fit_every=2,
-                        final_refresh=False, eig_sweeps=4),
-        odom_icp=L.IcpConfig(iters=6, max_corr_dist=2.0, degen_eigval=5.0,
+        icp=L.IcpConfig(iters=3, degen_eigval=5.0, fit_every=2,
+                        final_refresh=False, eig_sweeps=3),
+        odom_icp=L.IcpConfig(iters=4, max_corr_dist=2.0, degen_eigval=5.0,
                              fit_every=2, final_refresh=False,
-                             eig_sweeps=4),
+                             eig_sweeps=3),
         two_stage=True, undistort=True, guess_is_delta=True)
     gate_cfg = DG.GateConfig(rot_threshold=4.0, trans_threshold=-6.0,
                              normalize_per_corr=True)

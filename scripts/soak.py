@@ -53,7 +53,7 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=800, cam_h=600, speed=4.0,
              vio_use_odom_cov=False, vio_twist_cov=False,
              vio_cov=0.3, lidar_cov=0.05,
              gravity_update=True, zuv_update=True, lidar_anchor=False,
-             anchor_scale=25.0):
+             anchor_scale=25.0, photometric=False):
     from vil_sensor_fusion_tpu import fusion as fu
     from vil_sensor_fusion_tpu import graph as G
     from vil_sensor_fusion_tpu import utils as U
@@ -106,16 +106,20 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=800, cam_h=600, speed=4.0,
     vio_cfg = V.VioConfig(num_landmarks=landmarks, update_iters=2, cam=cam,
                           pose_ic=tuple(np.asarray(pose_ic)),
                           use_gravity_update=gravity_update,
-                          use_zero_velocity_update=zuv_update)
+                          use_zero_velocity_update=zuv_update,
+                          use_photometric=photometric)
     fe_cfg = F.FrontendConfig(
         cam=cam, n_candidates=64 if big_cam else 32,
         min_dist=24.0 if big_cam else 10.0, min_score=0.5)
+    # eig_sweeps=3: measured registration-accuracy-neutral and -29% on
+    # the bench lidar stage (scripts/lidar_ablation.py r5); the soak keeps
+    # its deeper iteration budget (6/8) for the long-horizon error story.
     lidar_cfg = L.LidarOdomConfig(
         icp=L.IcpConfig(iters=6, degen_eigval=5.0, fit_every=2,
-                        final_refresh=False, eig_sweeps=4),
+                        final_refresh=False, eig_sweeps=3),
         odom_icp=L.IcpConfig(iters=8, max_corr_dist=2.0, degen_eigval=5.0,
                              fit_every=2, final_refresh=False,
-                             eig_sweeps=4),
+                             eig_sweeps=3),
         two_stage=True, undistort=True, guess_is_delta=True)
     gate_cfg = DG.GateConfig(rot_threshold=4.0, trans_threshold=-6.0,
                              normalize_per_corr=True)
@@ -184,10 +188,22 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=800, cam_h=600, speed=4.0,
         LiDAR odometry → log-det gate → static-order timeline → fixed-lag
         fusion. All cross-stage glue (guess selection, timeline merge)
         happens on device with precomputed static indices."""
-        frames, ts1 = F.track_frames(
-            fe_cfg, py, cu, cs, cd, prj, imu_w, vio_cfg.num_landmarks,
-            ts0=state["tracker"])
-        vs1, vio_out = V.run(vio_cfg, state["vio"], frames)
+        if photometric:
+            # Direct ROVIO-style pipeline: the photometric update IS the
+            # tracker (frontends.vio.photometric); PhotoState (EKF +
+            # patch templates) carries across chunks in place of the KLT
+            # tracker state.
+            from vil_sensor_fusion_tpu.frontends.vio import (
+                photometric as PH)
+
+            ts1 = state["tracker"]        # unused, carried unchanged
+            vs1, vio_out = PH.run(vio_cfg, fe_cfg, state["vio"],
+                                  py, cu, cs, cd, prj, imu_w)
+        else:
+            frames, ts1 = F.track_frames(
+                fe_cfg, py, cu, cs, cd, prj, imu_w, vio_cfg.num_landmarks,
+                ts0=state["tracker"])
+            vs1, vio_out = V.run(vio_cfg, state["vio"], frames)
         vio_sel = vio_out.pose[guess_idx]
         prev_sel = jnp.concatenate(
             [state["vio_ref"][None], vio_sel[:-1]], axis=0)
@@ -226,9 +242,17 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=800, cam_h=600, speed=4.0,
     vel0 = traj.vel_fn(t0j).astype(dtype)
 
     def fresh_state():
+        if photometric:
+            from vil_sensor_fusion_tpu.frontends.vio import (
+                photometric as PH)
+
+            vio0 = PH.init_photo(
+                vio_cfg, V.init(vio_cfg, pose0, vel0, jnp.zeros(6, dtype)))
+        else:
+            vio0 = V.init(vio_cfg, pose0, vel0, jnp.zeros(6, dtype))
         return dict(
             tracker=F.init_tracker(fe_cfg, vio_cfg.num_landmarks, dtype),
-            vio=V.init(vio_cfg, pose0, vel0, jnp.zeros(6, dtype)),
+            vio=vio0,
             lidar=L.odometry.init(lidar_cfg, dtype, pose0=pose0),
             engine=fu.init(fusion_cfg, pose0, vel0, jnp.zeros(6, dtype),
                            t0j - 1e-3),
@@ -350,6 +374,7 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=800, cam_h=600, speed=4.0,
     summary = dict(
         duration_s=simulated_s, chunks=len(metrics),
         cam=f"{cam_w}x{cam_h}", landmarks=landmarks,
+        vio_mode="photometric" if photometric else "geometric",
         distance_m=speed * simulated_s,
         err_mean_m=float(np.mean([m["err_mean"] for m in metrics])),
         err_max_m=float(np.max(errs)),
@@ -400,6 +425,10 @@ def main():
                     help="disable the EKF gravity/attitude pseudo-update")
     ap.add_argument("--no-zuv", action="store_true",
                     help="disable the EKF zero-velocity update")
+    ap.add_argument("--photometric", action="store_true",
+                    help="direct photometric VIO pipeline (ROVIO "
+                         "filter-internals parity mode) instead of the "
+                         "geometric KLT path")
     ap.add_argument("--lidar-anchor", action="store_true",
                     help="absolute map-anchored unary factors from the "
                          "scan-to-map stream (SensorSpec.absolute_anchor)")
@@ -416,7 +445,8 @@ def main():
                           gravity_update=not args.no_gravity,
                           zuv_update=not args.no_zuv,
                           lidar_anchor=args.lidar_anchor,
-                          anchor_scale=args.anchor_scale)
+                          anchor_scale=args.anchor_scale,
+                          photometric=args.photometric)
     print(json.dumps(summary, indent=2))
 
 

@@ -29,3 +29,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the fast tier is compile-dominated (the
+# engine/EKF/ICP scans each cost 30-140 s to build on this 2-core host);
+# caching executables across test sessions cuts repeat runs to the actual
+# numeric work. Keys are HLO-content hashes, so code changes invalidate
+# exactly the programs they touch.
+_cache = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache", "tests-cpu")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -52,6 +52,19 @@ def _config():
     )
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _engine_runner(cfg):
+    """ONE jitted engine program per FusionConfig, shared across tests —
+    re-wrapping fu.run in a fresh lambda per test recompiled the identical
+    scan each time (~40-140 s each on this CPU; the fast tier's largest
+    cost)."""
+    return jax.jit(lambda es, tl, it, ia, ig: fu.run(cfg, es, tl, it, ia,
+                                                     ig))
+
+
 def _run(cfg, traj, vio_keep=None, lid_keep=None, vio_poses=None):
     imu, vio, lid = _streams(traj)
     vio_p = vio.poses if vio_poses is None else vio_poses
@@ -65,9 +78,7 @@ def _run(cfg, traj, vio_keep=None, lid_keep=None, vio_poses=None):
     t0 = jnp.zeros((), DTYPE)
     es = fu.init(cfg, traj.pose_fn(t0), traj.vel_fn(t0), jnp.zeros(6, DTYPE), t0)
 
-    run = jax.jit(lambda es, tl: fu.run(cfg, es, tl, imu.times, imu.accel,
-                                        imu.gyro))
-    es, out = run(es, tl)
+    es, out = _engine_runner(cfg)(es, tl, imu.times, imu.accel, imu.gyro)
     return tl, gt, out
 
 
@@ -149,7 +160,6 @@ class TestEndToEnd:
         assert ate_gated < 0.15
         assert ate_ungated > 10.0 * ate_gated
 
-    @pytest.mark.slow
     @pytest.mark.slow   # three engine-scan compiles (~5 min CPU)
     def test_twist_covariance_literal_mode(self):
         """use_odom_covariance must select the timeline's TWIST channel
@@ -179,8 +189,8 @@ class TestEndToEnd:
                 s._replace(**flags) for s in cfg.sensors))
             es = fu.init(cfg, traj.pose_fn(t0), traj.vel_fn(t0),
                          jnp.zeros(6, DTYPE), t0)
-            _, out = jax.jit(lambda e, t: fu.run(
-                cfg, e, t, imu.times, imu.accel, imu.gyro))(es, tl)
+            _, out = _engine_runner(cfg)(es, tl, imu.times, imu.accel,
+                                         imu.gyro)
             err = np.linalg.norm(np.asarray(out.poses)[:, 4:7]
                                  - np.asarray(gt.poses)[:, 4:7], axis=-1)
             assert np.isfinite(err).all()
@@ -306,8 +316,8 @@ class TestHealthGuard:
         t0 = jnp.zeros((), DTYPE)
         es = fu.init(cfg, traj.pose_fn(t0), traj.vel_fn(t0),
                      jnp.zeros(6, DTYPE), t0)
-        es, out = jax.jit(lambda es, tl: fu.run(
-            cfg, es, tl, imu.times, imu.accel, imu.gyro))(es, tl)
+        es, out = _engine_runner(cfg)(es, tl, imu.times, imu.accel,
+                                      imu.gyro)
 
         h = np.asarray(out.healthy)
         assert h.min() == 0.0, "the poisoned event was not flagged"
@@ -361,8 +371,8 @@ class TestCheckpointResume:
         t0 = jnp.zeros((), DTYPE)
         es0 = fu.init(cfg, traj.pose_fn(t0), traj.vel_fn(t0),
                       jnp.zeros(6, DTYPE), t0)
-        run = jax.jit(lambda es, tl: fu.run(cfg, es, tl, imu.times,
-                                            imu.accel, imu.gyro))
+        run = lambda es, tl: _engine_runner(cfg)(es, tl, imu.times,
+                                                 imu.accel, imu.gyro)
 
         _, out_full = run(es0, tl)
 

@@ -138,12 +138,22 @@ def build(
         lm_extent, lm_height = 40.0, (0.5, 10.0)
     elif kind == "field":
         # Road drive whose middle third is OPEN FIELD (ground plane only):
-        # yaw AND x/y starve together — the reference's plane/open-road bag
-        # shape, labeled in both DEGEN_ROT and DEGEN_TRANS (SanRafael
-        # 35-85 s, make_prettier_graphs.py:46-120). Faster drive than the
-        # tunnel so the field section outruns the LiDAR's 120 m range and
-        # the portal buildings actually leave the scan mid-section.
-        speed = 8.0
+        # x/y translation starves quickly, and deep inside the clearing yaw
+        # starves too — the reference's plane/open-road bag shape (SanRafael
+        # 35-85 s appears in both DEGEN_ROT and DEGEN_TRANS,
+        # make_prettier_graphs.py:46-120). Motorcycle-speed drive (the
+        # reference ships three motorcycle bags) so a 60 s cell's clearing
+        # is long enough to outrun the LiDAR's 120 m range mid-section.
+        #
+        # The trans and rot labels get DIFFERENT interior margins, because
+        # the two degeneracies have different length scales (measured on
+        # TPU runs of this scenario): along-road translation collapses as
+        # soon as the nearest structure is ~25 m away, but ROTATION
+        # information is lever-arm-weighted (λ_yaw ≈ Σ|r×n|² over building
+        # points) — portal buildings at 40-120 m still anchor yaw
+        # strongly, so only the stretch with ≥ ~110 m of clearance is
+        # genuinely rot-degenerate.
+        speed = 16.0
         drive_speed = speed
         length = speed * duration
         x0, x1 = length / 3.0, length * 2.0 / 3.0
@@ -151,13 +161,16 @@ def build(
                                dtype=dtype)
         traj = _town_traj(speed=speed)
         lm_extent, lm_height = 40.0, (0.5, 10.0)
-        # Label only where the nearest roadside buildings are ≥ ~25 m away
-        # (portal structures still in the scan keep the Hessian partially
-        # conditioned — same portal effect the reference's hand labels
-        # absorb with interior margins).
-        margin = min(25.0 / speed, (x1 - x0) / speed / 2.0)
-        degen_windows = ((x0 / speed + margin, x1 / speed - margin,
-                          "both"),)
+        transit_half = (x1 - x0) / speed / 2.0
+        m_trans = min(25.0 / speed, transit_half)
+        # Clamped so the rot window is always interior to the trans one,
+        # even on short smoke cells where the clearance clamp bites first.
+        m_rot = max(m_trans,
+                    min(110.0 / speed, max(transit_half - 0.5, 0.0)))
+        degen_windows = (
+            (x0 / speed + m_trans, x1 / speed - m_trans, "trans"),
+            (x0 / speed + m_rot, x1 / speed - m_rot, "rot"),
+        )
     elif kind == "tunnel":
         # Town drive that passes through a tunnel in the middle third —
         # the labeled-window bag structure ('Tunnel 25-35 s').

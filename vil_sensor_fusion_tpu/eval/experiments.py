@@ -346,6 +346,25 @@ def _auc_note(name: str, auc: float) -> str | None:
                 "fires at window ENTRY/EXIT edges and is near/below "
                 "chance against sustained inside-window labels by "
                 "construction")
+    if _is_rot_metric(name) and base in (
+            "d_opt", "a_opt", "gate_rot_logdet", "gate_rot_logdet_raw",
+            "differential_entropy", "norm_frobenius", "max_eigen"):
+        return ("rotation information is lever-arm-weighted "
+                "(λ ≈ Σ|r×n|² over correspondences): open scenes whose "
+                "only structure is DISTANT can carry more absolute "
+                "rot-block volume than built-up ones even while yaw "
+                "collapses relatively, so volume metrics (det/trace/"
+                "entropy/norm) on the raw 3×3 rot block confound range "
+                "with conditioning — e_opt_rot, condition_number_rot and "
+                "dist_slope_r* are the robust rot detectors (measured on "
+                "the field grid)")
+    if base in ("condition_number", "condition_cov"):
+        return ("condition-number polarity is scene-dependent: it rises "
+                "when the WEAK eigenvalue collapses but falls when "
+                "degeneracy comes with the STRONG directions shrinking "
+                "(e.g. structures leaving range flatten the whole "
+                "spectrum); below chance here means the latter regime "
+                "dominates this grid")
     if base == "a_opt":
         return ("trace is dominated by the strong directions; a single "
                 "collapsing eigenvalue barely moves it, so it ranks "
