@@ -139,22 +139,30 @@ def main():
                           pose_ic=tuple(np.asarray(pose_ic)))
     fe_cfg = F.FrontendConfig(cam=cam, n_candidates=64, min_dist=24.0,
                               min_score=0.5)
-    # Iteration budgets: odometry 4 / mapping 3, fit_every=2,
-    # final_refresh=False, eig_sweeps=3 — the r5 operating point from
-    # scripts/lidar_ablation.py (8 lanes x 40 sweeps, full VLP-16 grid):
-    # 814 ms -> ~585-600 ms per batched pass vs the r4 schedule with
-    # registration error UNCHANGED (mean 0.220 vs 0.226, max 0.337 vs
-    # 0.367). The dominant lever is eig_sweeps 4->3 (-29% alone): the 6x6
-    # Jacobi eigenbasis refresh was nearly half the stage; 3 sweeps
-    # already give the degeneracy projection machine-precision axes on
-    # these spectra. Solution parity for the reuse schedule is pinned by
-    # test_lidar.py::test_fit_reuse_schedule_matches_full_refresh.
+    # Iteration budgets: the r5 operating point from the differential
+    # ablation at bench shapes (8 lanes x 40 sweeps, full VLP-16 grid):
+    # ONE correspondence round per stage (fit_every=4: KNN + line/plane
+    # eigenfits once, then 4/3 GN steps on the frozen geometry — the
+    # rounds were the dominant stage cost at ~92 ms each), submap budgets
+    # 2048/4096, map capacities 24k/48k (soak residency peaks at
+    # 17.5k/37.5k — 30% headroom), eig_sweeps=3, and the per-sweep
+    # covariance eig hoisted out of the scan (odometry.run). Together:
+    # 806 -> 489 ms per batched pass with registration error mean 0.049 /
+    # max 0.15 m vs 0.044/0.12 at the r4 schedule — measured AFTER the
+    # first-sweep undistortion fix (odometry.step), which is worth 5x on
+    # its own (a distorted seed sweep permanently owns its voxels in the
+    # first-observation-wins hashed map). Solution parity for the reuse
+    # schedule: test_lidar.py::test_fit_reuse_schedule_matches_full_refresh.
+    from vil_sensor_fusion_tpu.frontends.lidar import voxelmap as _vm
     lidar_cfg = L.LidarOdomConfig(
-        icp=L.IcpConfig(iters=3, degen_eigval=5.0, fit_every=2,
+        icp=L.IcpConfig(iters=3, degen_eigval=5.0, fit_every=4,
                         final_refresh=False, eig_sweeps=3),
         odom_icp=L.IcpConfig(iters=4, max_corr_dist=2.0, degen_eigval=5.0,
-                             fit_every=2, final_refresh=False,
+                             fit_every=4, final_refresh=False,
                              eig_sweeps=3),
+        corner_map=_vm.VoxelMapConfig(capacity=24576, leaf=0.2),
+        surf_map=_vm.VoxelMapConfig(capacity=49152, leaf=0.4),
+        submap_corners=2048, submap_surfs=4096,
         two_stage=True, undistort=True, guess_is_delta=True)
     gate_cfg = DG.GateConfig(rot_threshold=4.0, trans_threshold=-6.0,
                              normalize_per_corr=True)
@@ -196,9 +204,13 @@ def main():
     n_events = T_v + T_l
     guess_idx = jnp.asarray(sc0.lidar_guess_idx)
 
+    @jax.jit
     def delta_guesses(vio_poses_b):
         """(B, Tv, 7) VIO poses -> (B, Tl, 7) RELATIVE priors (VIO motion
-        between consecutive sweep frames; sweep 0 vs the initial pose)."""
+        between consecutive sweep frames; sweep 0 vs the initial pose).
+        Jitted: executed eagerly this double-vmap dispatches every lie
+        primitive as its own device call (~3 ms tunnel latency each) and
+        the ~55 ms total lands inside the next stage's timer."""
         sel = vio_poses_b[:, guess_idx]
         prev = jnp.concatenate([pose0s[:sel.shape[0], None], sel[:, :-1]],
                                axis=1)

@@ -396,6 +396,9 @@ def run_soak(duration=60.0, chunk=10.0, cam_w=800, cam_h=600, speed=4.0,
             pyr=float(np.mean([m["wall_pyr"] for m in metrics])),
             cand=float(np.mean([m["wall_cand"] for m in metrics])),
             est=float(np.mean([m["wall_est"] for m in metrics]))),
+        # Per-chunk max error trajectory: the drift-plateau evidence (is
+        # err_max still growing at the end, or has it saturated?).
+        per_chunk_err_max_m=[float(e) for e in errs],
         resume_max_delta=resume_err,
         platform=jax.devices()[0].platform,
     )

@@ -94,7 +94,14 @@ def _run(spec: ExperimentSpec) -> dict:
             icp=L.IcpConfig(iters=spec.icp_iters,
                             degen_eigval=spec.degen_eigval),
             two_stage=spec.two_stage, undistort=spec.undistort,
-            emit_dists=spec.emit_dists),
+            emit_dists=spec.emit_dists,
+            # Delta-mode motion prior (the production configs' setting,
+            # config.py guess_is_delta default): the VIO's RELATIVE motion
+            # as the registration prior, which also lets the first sweep
+            # be undistorted (odometry.step) — critical with
+            # distort_sweeps, since the hashed voxel map keeps the first
+            # observation of every voxel.
+            guess_is_delta=True),
         gate=DG.GateConfig(rot_threshold=spec.rot_threshold,
                            trans_threshold=spec.trans_threshold,
                            normalize_per_corr=True),
@@ -110,7 +117,8 @@ def _run(spec: ExperimentSpec) -> dict:
         cfg, sc.imu_times, sc.imu_accel, sc.imu_gyro,
         sc.vio_times, sc.vio_frames,
         V.init(cfg.vio, pose0, vel0, jnp.zeros(6, dtype)),
-        sc.lidar_times, sc.sweeps, L.odometry.init(cfg.lidar, dtype),
+        sc.lidar_times, sc.sweeps,
+        L.odometry.init(cfg.lidar, dtype, pose0=pose0),
         lidar_guess_from_vio_idx=sc.lidar_guess_idx,
         engine_state=fu.init(cfg.fusion, pose0, vel0, jnp.zeros(6, dtype),
                              t0),

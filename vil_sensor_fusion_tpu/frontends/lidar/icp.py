@@ -225,8 +225,9 @@ def plane_correspondences(
 
 @estimation_precision
 def accumulate_normal_eqs(res, J, w):
-    """H = Σ w JᵀJ, g = Σ w Jᵀr — shardable over the point axis: under
-    shard_map these become psum-reduced partial sums (parallel.ops).
+    """H = Σ w JᵀJ, g = Σ w Jᵀr, cost = Σ w rᵀr — shardable over the point
+    axis: under shard_map these become psum-reduced partial sums
+    (parallel.ops).
 
     Zero-weight rows are explicitly zeroed first: a garbage residual from an
     invalid correspondence may be non-finite, and 0·inf would poison the sum.
@@ -236,7 +237,8 @@ def accumulate_normal_eqs(res, J, w):
     J = jnp.where(ok[..., None], J, 0.0)
     H = jnp.einsum("qri,q,qrj->ij", J, w, J)
     g = jnp.einsum("qri,q,qr->i", J, w, res)
-    return H, g
+    cost = jnp.einsum("qr,q,qr->", res, w, res)
+    return H, g, cost
 
 
 @estimation_precision
@@ -364,9 +366,9 @@ def register(
     def normal_eqs(pose, lf, pf):
         rl, Jl, wl = line_residuals(pose, corners, *lf)
         rp, Jp, wp = plane_residuals(pose, surfs, *pf)
-        Hl, gl = accumulate_normal_eqs(rl, Jl, wl)
-        Hp, gp = accumulate_normal_eqs(rp, Jp, wp)
-        return _reduce(Hl + Hp, gl + gp)
+        Hl, gl, cl = accumulate_normal_eqs(rl, Jl, wl)
+        Hp, gp, cp = accumulate_normal_eqs(rp, Jp, wp)
+        return _reduce(Hl + Hp, gl + gp, cl + cp)
 
     def round_body(_, carry):
         """One correspondence round: fits + normal equations + ONE 6×6
@@ -379,9 +381,9 @@ def register(
         iteration. The 6×6 Jacobi is ~540 sequential tiny vector ops —
         latency, not FLOPs — so hoisting it out of the inner steps is a
         big per-sweep win on TPU."""
-        pose, H, degen, _, _ = carry
+        pose, H, degen, cost, _, _ = carry
         lf, pf = do_fits(pose)
-        H, g = normal_eqs(pose, lf, pf)
+        H, g, cost = normal_eqs(pose, lf, pf)
         eigval, V = E6.jacobi_eigh(H, sweeps=cfg.eig_sweeps)
         ok = (eigval > cfg.degen_eigval).astype(H.dtype)
         degen = 1.0 - ok
@@ -393,12 +395,19 @@ def register(
             return lie.pose_retract(pose, dx)
 
         pose = solve_retract(pose, g)
+
         def gn(_, pose):
-            _, g = normal_eqs(pose, lf, pf)
+            # g-only: the H/cost einsums are dead here and XLA DCEs them.
+            _, g, _ = normal_eqs(pose, lf, pf)
             return solve_retract(pose, g)
 
-        pose = jax.lax.fori_loop(0, cfg.fit_every - 1, gn, pose)
-        return pose, H, degen, lf, pf
+        if cfg.fit_every > 1:
+            pose = jax.lax.fori_loop(0, cfg.fit_every - 2, gn, pose)
+            # Last inner step keeps (H, cost) at its pre-update pose — the
+            # reported last-iteration stats (final_refresh=False path).
+            H, g, cost = normal_eqs(pose, lf, pf)
+            pose = solve_retract(pose, g)
+        return pose, H, degen, cost, lf, pf
 
     dtype = pose0.dtype
     Qc, Qs = corners.shape[0], surfs.shape[0]
@@ -408,23 +417,30 @@ def register(
            jnp.zeros((Qs,), dtype))
     n_rounds = -(-cfg.iters // cfg.fit_every)
     init = (pose0, jnp.zeros((6, 6), dtype), jnp.zeros((6,), dtype),
-            lf0, pf0)
-    pose, H, degen, lf, pf = jax.lax.fori_loop(0, n_rounds, round_body, init)
+            jnp.zeros((), dtype), lf0, pf0)
+    pose, H, degen, cost, lf, pf = jax.lax.fori_loop(0, n_rounds,
+                                                     round_body, init)
 
-    # Final stats at the solution (fresh correspondences, or the last
-    # round's — LOAM's published OptStatus Hessian is last-iteration too).
+    # Final stats at the solution. final_refresh=True: fresh
+    # correspondences + full recompute (classic behavior). False: the
+    # last GN step's already-computed H/cost (evaluated at the pose one
+    # update before the final one, on the last round's frozen fits) —
+    # LOAM's published OptStatus Hessian is its last-iteration one too,
+    # so stale-by-one stats match reference semantics while saving an
+    # entire residual/Jacobian/accumulation pass per register call.
     if cfg.final_refresh:
         lf, pf = do_fits(pose)
-    rl, Jl, wl = line_residuals(pose, corners, *lf)
-    rp, Jp, wp = plane_residuals(pose, surfs, *pf)
-    Hl, _ = accumulate_normal_eqs(rl, Jl, wl)
-    Hp, _ = accumulate_normal_eqs(rp, Jp, wp)
-    rl = jnp.where((wl > 0)[:, None], rl, 0.0)
-    rp = jnp.where((wp > 0)[:, None], rp, 0.0)
-    cost = (jnp.einsum("qr,q,qr->", rl, wl, rl)
-            + jnp.einsum("qr,q,qr->", rp, wp, rp))
-    hessian, cost, n_corr = _reduce(
-        Hl + Hp, cost, jnp.sum(wl) + jnp.sum(wp))
+        rl, Jl, wl = line_residuals(pose, corners, *lf)
+        rp, Jp, wp = plane_residuals(pose, surfs, *pf)
+        Hl, _, cl = accumulate_normal_eqs(rl, Jl, wl)
+        Hp, _, cp = accumulate_normal_eqs(rp, Jp, wp)
+        hessian, cost, n_corr = _reduce(
+            Hl + Hp, cl + cp, jnp.sum(wl) + jnp.sum(wp))
+    else:
+        # H/cost carried from the loop are already axis-reduced
+        # (normal_eqs applies _reduce); only n_corr needs the psum.
+        hessian = H
+        (n_corr,) = _reduce(jnp.sum(lf[2]) + jnp.sum(pf[2]))
     return IcpResult(
         pose=pose,
         hessian=hessian,
