@@ -63,11 +63,15 @@ def test_default_grid_is_mid_drive_labeled():
 
 
 def test_metric_polarity_and_notes():
-    """condition_number and the divergence family are high=degenerate
-    (the r4 AUC-0.0 root cause); information-volume metrics stay
-    low=degenerate; every below-chance AUC gets a one-line note."""
-    assert not EX._low_is_degenerate("condition_number")
-    assert not EX._low_is_degenerate("condition_number_rot")
+    """The divergence family and the RAW condition number (condition_cov)
+    are high=degenerate; `condition_number` is the reference's ALREADY
+    NEGATED variant (−cond, degeneracy_detection_functions.py:240-243) so
+    it stays low=degenerate — double-inverting it was the r4 AUC-0.0 root
+    cause. Information-volume metrics stay low=degenerate; every
+    below-chance AUC gets a one-line note."""
+    assert EX._low_is_degenerate("condition_number")
+    assert EX._low_is_degenerate("condition_number_rot")
+    assert not EX._low_is_degenerate("condition_cov")
     assert not EX._low_is_degenerate("jensen_bregman")
     assert not EX._low_is_degenerate("kullback_leibler_0cov_rot")
     assert EX._low_is_degenerate("d_opt")

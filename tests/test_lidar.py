@@ -360,6 +360,52 @@ class TestTwoStage:
 
 
 class TestUndistortion:
+    def test_first_sweep_undistorted_in_delta_mode(self):
+        """Regression (r5): the FIRST sweep must be undistorted too. The
+        hashed voxel map keeps the first observation of every voxel
+        (insert_hashed: old points are authoritative), so a distorted seed
+        sweep — the old behavior, which zeroed the warp until a map
+        existed — permanently owned every voxel in range. In delta-guess
+        mode the warp motion is −log(delta), well-defined with no map:
+        the map after the first step must match the one seeded from a
+        manually undistorted sweep (and NOT match the distorted one)."""
+        w = rc.town_world(n_boxes=16, seed=2)
+        p0, p1 = _pose(x=0.0), _pose(x=1.2)
+        sweep = rc.raycast_motion(w, p0, p1)
+        delta = lie.pose_between(p0, p1)
+
+        cfg = L.LidarOdomConfig(icp=L.IcpConfig(iters=2, degen_eigval=5.0),
+                                two_stage=False, undistort=True,
+                                guess_is_delta=True)
+        st = L.odometry.init(cfg, DTYPE, pose0=p0)
+        st1, _ = jax.jit(lambda st, sw, g: L.odometry.step(cfg, st, sw, g)
+                         )(st, sweep, delta)
+
+        from vil_sensor_fusion_tpu.frontends.lidar import rangeimage as RI
+        clean = RI.undistort(sweep, -lie.se3_log(delta))
+        cfg_ref = cfg._replace(undistort=False)
+        st_ref = L.odometry.init(cfg_ref, DTYPE, pose0=p0)
+        ref1, _ = jax.jit(
+            lambda st, sw, g: L.odometry.step(cfg_ref, st, sw, g)
+        )(st_ref, clean, delta)
+        raw1, _ = jax.jit(
+            lambda st, sw, g: L.odometry.step(cfg_ref, st, sw, g)
+        )(st_ref, sweep, delta)
+
+        def set_dist(ma, mb):
+            """Median nearest-neighbor distance between the two maps' valid
+            point SETS (slot layout is hash-order-sensitive, so elementwise
+            comparison would be meaningless)."""
+            a = np.asarray(ma.points)[np.asarray(ma.mask) > 0]
+            b = np.asarray(mb.points)[np.asarray(mb.mask) > 0]
+            d = np.linalg.norm(a[:, None, :] - b[None, :, :], axis=-1)
+            return float(np.median(d.min(axis=1)))
+
+        d_clean = set_dist(st1.surf_map, ref1.surf_map)
+        d_raw = set_dist(st1.surf_map, raw1.surf_map)
+        assert d_clean < 1e-4, d_clean
+        assert d_raw > 0.05, d_raw
+
     @pytest.mark.slow
     def test_undistortion_recovers_moving_sweep(self):
         """Motion-distorted sweeps (each azimuth column cast from the pose

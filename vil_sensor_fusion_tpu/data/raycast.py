@@ -150,13 +150,26 @@ def arena_world(radius: float = 9.0, faces: int = 96,
 
 def tunnel_world(x0: float = 20.0, x1: float = 44.0, width: float = 8.0,
                  height: float = 5.0, n_boxes: int = 24, seed: int = 0,
-                 extent: float = 60.0, dtype=jnp.float32) -> World:
+                 extent: float = 60.0, road_length: float | None = None,
+                 dtype=jnp.float32) -> World:
     """Town with a tunnel spanning x ∈ [x0, x1]: buildings outside, two long
     walls (thin boxes) + ceiling slab inside. Driving through produces a
     well-conditioned → degenerate → well-conditioned sequence — the bag
     structure behind the thesis's labeled windows ('Tunnel 25-35 s',
-    make_prettier_graphs.py:46-120)."""
-    base = town_world(n_boxes=n_boxes, seed=seed, extent=extent, dtype=dtype)
+    make_prettier_graphs.py:46-120).
+
+    ``road_length``: build on :func:`road_world` of that length instead of
+    the ±``extent`` town — REQUIRED for reference-length drives: the town
+    base scatters its buildings around the ORIGIN only, so any drive past
+    x ≈ extent continues over bare ground plane — un-labeled but genuinely
+    trans-degenerate, which both diverges the LiDAR and scrambles the ROC
+    ground truth (measured: a 345 s drive on the town base gated out 91 %
+    of its sweeps and drifted 200 m)."""
+    if road_length is not None:
+        base = road_world(length=road_length, seed=seed, dtype=dtype)
+    else:
+        base = town_world(n_boxes=n_boxes, seed=seed, extent=extent,
+                          dtype=dtype)
     # Drop buildings that intrude into the tunnel's x-range (keep static
     # shapes by moving them far below ground instead of filtering).
     import numpy as np

@@ -172,12 +172,30 @@ def build(
             (x0 / speed + m_rot, x1 / speed - m_rot, "rot"),
         )
     elif kind == "tunnel":
-        # Town drive that passes through a tunnel in the middle third —
-        # the labeled-window bag structure ('Tunnel 25-35 s').
+        # Town drive that passes through a mid-drive tunnel — the
+        # labeled-window bag structure ('Tunnel 25-35 s': a ~10 s tunnel
+        # inside a 1:04 bag, make_prettier_graphs.py:46-120). The tunnel
+        # segment is CAPPED at 40 m (~10 s at 4 m/s) rather than scaling
+        # with duration: a duration-proportional tunnel made the 345 s
+        # reference-length cell a 460 m tube — far beyond the sensor's
+        # 120 m range for ~80 s, which destroys the scan-to-map voxel map
+        # and (measured) diverges LiDAR by ~700 m and poisons fusion with
+        # confident-but-wrong post-tunnel increments. No real evaluation
+        # bag has that shape; the reference's tunnels are portal-visible
+        # scale.
         speed = 4.0
-        x0, x1 = speed * duration / 3.0, speed * duration * 2.0 / 3.0
+        length = speed * duration
+        tunnel_len = min(length / 3.0, 40.0)
+        x0 = length / 2.0 - tunnel_len / 2.0
+        x1 = length / 2.0 + tunnel_len / 2.0
+        # Road base (constant building density along the WHOLE drive, like
+        # the field kind): the town base only populates ±60 m of the
+        # origin, leaving everything past that bare ground — un-labeled
+        # degeneracy that wrecks both the fusion and the ROC ground truth
+        # at reference-length durations (see tunnel_world docstring).
         world = rc.tunnel_world(x0=x0, x1=x1, width=8.0, height=5.0,
-                                n_boxes=28, seed=seed, dtype=dtype)
+                                n_boxes=28, seed=seed, road_length=length,
+                                dtype=dtype)
         traj = _corridor_traj(speed=speed)
         lm_extent, lm_height = 40.0, (0.5, 10.0)
         # Inside-the-tube times, with half a sweep of margin at each portal —

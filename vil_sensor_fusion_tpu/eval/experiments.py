@@ -318,17 +318,21 @@ def _is_rot_metric(name: str) -> bool:
 # reference's calc_roc) is "LOW score ⇒ degenerate", which is right for
 # information-volume metrics on a Hessian (log-det, trace, min-eig,
 # entropy, norms: information collapses in the degenerate direction). It
-# is BACKWARDS for metrics that GROW under degeneracy — the condition
+# is BACKWARDS for metrics that GROW under degeneracy — the raw condition
 # number (max_eig/min_eig diverges as the weak direction collapses) and
 # the divergence/distance family (JBLD, KL, correlation-matrix distance
-# spike when the Hessian changes). The r4 aggregate scored
-# condition_number at AUC 0.0 — a PERFECT detector evaluated under the
-# inverted polarity; the reference's own analysis has the same blind spot
-# (plot_roc inverts only for covariance-sourced matrices,
-# make_prettier_graphs.py:591-596, never per metric). Each metric now
-# declares its polarity and the AUC table reports it.
+# spike when the Hessian changes). Each metric declares its polarity here
+# and the AUC table reports it.
+#
+# The r4 "condition_number AUC 0.0" mystery, fully resolved: the
+# reference's `condition_number` ALREADY returns the NEGATED condition
+# number (−np.linalg.cond, degeneracy_detection_functions.py:240-243 —
+# low = degenerate baked in), and metrics.py mirrors it faithfully; only
+# `condition_cov` returns the raw (+) value. Listing condition_number
+# here double-inverted a near-perfect detector into AUC 0.0 (measured
+# 1.00 on the road-tunnel grid once un-flipped).
 _HIGH_IS_DEGENERATE_BASES = frozenset({
-    "condition_number", "condition_cov",
+    "condition_cov",
     "jensen_bregman", "jensen_bregman_ref",
     "correlation_matrix_distance",
     "kullback_leibler", "kullback_leibler_0pose", "kullback_leibler_0cov",
@@ -366,6 +370,18 @@ def _auc_note(name: str, auc: float) -> str | None:
                 "with conditioning — e_opt_rot, condition_number_rot and "
                 "dist_slope_r* are the robust rot detectors (measured on "
                 "the field grid)")
+    if not _is_rot_metric(name) and base in (
+            "d_opt", "a_opt", "gate_trans_logdet", "gate_trans_logdet_raw",
+            "differential_entropy", "norm_frobenius", "max_eigen"):
+        return ("close-range structure confound (the trans-block twin of "
+                "the rot lever-arm note): ENCLOSED degenerate scenes — "
+                "tunnel walls metres from the sensor — RAISE the absolute "
+                "information volume (more, closer correspondences) while "
+                "starving only the along-axis DoF, so volume metrics "
+                "(det/trace/entropy/norm) on the 3×3 trans block score "
+                "higher inside the degenerate window than outside; e_opt "
+                "and dist_slope_tx are the conditioning-sensitive trans "
+                "detectors (measured on the tunnel grid)")
     if base in ("condition_number", "condition_cov"):
         return ("condition-number polarity is scene-dependent: it rises "
                 "when the WEAK eigenvalue collapses but falls when "
@@ -515,7 +531,9 @@ def aggregate_report(results: Sequence[Mapping], out_dir: str) -> dict:
     for res in results:
         spec = res["spec"] if isinstance(res["spec"], dict) \
             else dict(res["spec"])
-        key = f"{spec['kind']}_s{spec['seed']}"
+        # Duration in the key: a long-row cell must not collide with a
+        # same-kind/seed grid cell (it silently overwrote the 60 s row).
+        key = f"{spec['kind']}_d{spec['duration']:g}_s{spec['seed']}"
         ate_rows[key] = {"lidar": float(res["ate_lidar"]),
                          "vio": float(res["ate_vio"]),
                          "fused": float(res["ate_fused"])}
